@@ -1,0 +1,178 @@
+"""Llama-family flagship model, built on flashinfer_tpu ops.
+
+The reference is a kernel library consumed by engines (vLLM/SGLang); this
+module is the equivalent of those engines' model definition, included so the
+framework is usable end-to-end: paged-KV serving decode (llama_decode_step)
+and a dense forward/training path (llama_forward_dense) that the multi-chip
+dry-run shards over a mesh.
+
+Weights are a flat dict pytree; shapes follow Llama-3 conventions
+(GQA, SwiGLU, RMSNorm, RoPE theta 5e5).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from flashinfer_tpu.ops.activation import silu_and_mul
+from flashinfer_tpu.ops.attention.reference import attention_reference
+from flashinfer_tpu.ops.norm import rmsnorm
+from flashinfer_tpu.ops.rope import apply_rope_pos_ids
+
+__all__ = [
+    "LlamaConfig",
+    "llama_init_weights",
+    "llama_forward_dense",
+    "llama_decode_step",
+]
+
+
+@dataclasses.dataclass(frozen=True)
+class LlamaConfig:
+    vocab_size: int = 32000
+    hidden_size: int = 4096
+    intermediate_size: int = 14336
+    num_layers: int = 32
+    num_qo_heads: int = 32
+    num_kv_heads: int = 8
+    head_dim: int = 128
+    rope_theta: float = 5e5
+    rms_eps: float = 1e-5
+    dtype: Any = jnp.bfloat16
+
+    @staticmethod
+    def llama3_8b() -> "LlamaConfig":
+        return LlamaConfig()
+
+    @staticmethod
+    def tiny(dtype=jnp.float32) -> "LlamaConfig":
+        return LlamaConfig(
+            vocab_size=256,
+            hidden_size=128,
+            intermediate_size=256,
+            num_layers=2,
+            num_qo_heads=4,
+            num_kv_heads=2,
+            head_dim=32,
+            dtype=dtype,
+        )
+
+
+def llama_init_weights(key: jax.Array, cfg: LlamaConfig) -> Dict[str, jax.Array]:
+    h, i, d = cfg.hidden_size, cfg.intermediate_size, cfg.head_dim
+    hq, hkv, L = cfg.num_qo_heads, cfg.num_kv_heads, cfg.num_layers
+    keys = jax.random.split(key, 8)
+    scale = 1.0 / math.sqrt(h)
+
+    def rnd(k, shape):
+        return (jax.random.normal(k, shape, jnp.float32) * scale).astype(cfg.dtype)
+
+    return {
+        "embedding": rnd(keys[0], (cfg.vocab_size, h)),
+        "wq": rnd(keys[1], (L, h, hq * d)),
+        "wk": rnd(keys[2], (L, h, hkv * d)),
+        "wv": rnd(keys[3], (L, h, hkv * d)),
+        "wo": rnd(keys[4], (L, hq * d, h)),
+        "w_gate_up": rnd(keys[5], (L, h, 2 * i)),
+        "w_down": rnd(keys[6], (L, i, h)),
+        "attn_norm": jnp.ones((L, h), cfg.dtype),
+        "mlp_norm": jnp.ones((L, h), cfg.dtype),
+        "final_norm": jnp.ones((h,), cfg.dtype),
+        "lm_head": rnd(keys[7], (h, cfg.vocab_size)),
+    }
+
+
+def _dense_attention_batch(q, k, v, pos):
+    """Causal attention over [batch, seq, heads, d] via the oracle (vmapped).
+    Used by the dense/training path where XLA SPMD handles sharding."""
+    def one(q1, k1, v1):
+        out, _ = attention_reference(q1, k1, v1, causal=True)
+        return out
+
+    return jax.vmap(one)(q, k, v)
+
+
+def llama_forward_dense(
+    params: Dict[str, jax.Array],
+    token_ids: jax.Array,  # [batch, seq]
+    cfg: LlamaConfig,
+) -> jax.Array:
+    """Dense causal forward returning logits [batch, seq, vocab]."""
+    B, S = token_ids.shape
+    h, d = cfg.hidden_size, cfg.head_dim
+    hq, hkv = cfg.num_qo_heads, cfg.num_kv_heads
+    x = params["embedding"][token_ids]  # [B, S, h]
+    pos = jnp.arange(S, dtype=jnp.int32)
+
+    for layer in range(cfg.num_layers):
+        xn = rmsnorm(x, params["attn_norm"][layer], cfg.rms_eps)
+        q = (xn @ params["wq"][layer]).reshape(B, S, hq, d)
+        k = (xn @ params["wk"][layer]).reshape(B, S, hkv, d)
+        v = (xn @ params["wv"][layer]).reshape(B, S, hkv, d)
+
+        def rope_one(q1, k1):
+            return apply_rope_pos_ids(q1, k1, pos, rope_theta=cfg.rope_theta)
+
+        q, k = jax.vmap(rope_one)(q, k)
+        attn = _dense_attention_batch(q, k, v, pos)  # [B, S, hq, d]
+        x = x + (attn.reshape(B, S, hq * d) @ params["wo"][layer]).astype(x.dtype)
+
+        xn = rmsnorm(x, params["mlp_norm"][layer], cfg.rms_eps)
+        gate_up = xn @ params["w_gate_up"][layer]
+        x = x + (silu_and_mul(gate_up) @ params["w_down"][layer]).astype(x.dtype)
+
+    x = rmsnorm(x, params["final_norm"], cfg.rms_eps)
+    return (x @ params["lm_head"]).astype(jnp.float32)
+
+
+def llama_decode_step(
+    params: Dict[str, jax.Array],
+    cfg: LlamaConfig,
+    token_ids: jax.Array,  # [batch] current tokens
+    positions: jax.Array,  # [batch] their positions
+    kv_caches: Tuple[jax.Array, jax.Array],  # [L, pages, kvh, page_size, d] x2
+    kv_indices: jax.Array,
+    kv_indptr: jax.Array,
+    kv_last_page_len: jax.Array,
+    attention_fn,
+    append_fn,
+) -> Tuple[jax.Array, Tuple[jax.Array, jax.Array]]:
+    """One serving decode step over a paged cache.
+
+    ``attention_fn(layer_idx, q, k_cache, v_cache) -> out`` and
+    ``append_fn(layer_idx, k, v, k_cache, v_cache) -> (k_cache, v_cache)``
+    are injected by the serving engine (bench.py / tests) so this function
+    stays jittable: planning happened outside, the fns close over plan
+    state. Returns (logits [batch, vocab], updated caches).
+    """
+    B = token_ids.shape[0]
+    h, d = cfg.hidden_size, cfg.head_dim
+    hq, hkv = cfg.num_qo_heads, cfg.num_kv_heads
+    x = params["embedding"][token_ids]  # [B, h]
+    k_all, v_all = kv_caches
+    new_k, new_v = [], []
+
+    for layer in range(cfg.num_layers):
+        xn = rmsnorm(x, params["attn_norm"][layer], cfg.rms_eps)
+        q = (xn @ params["wq"][layer]).reshape(B, hq, d)
+        k = (xn @ params["wk"][layer]).reshape(B, hkv, d)
+        v = (xn @ params["wv"][layer]).reshape(B, hkv, d)
+        q, k = apply_rope_pos_ids(q, k, positions, rope_theta=cfg.rope_theta)
+        kc, vc = append_fn(layer, k, v, k_all[layer], v_all[layer])
+        new_k.append(kc)
+        new_v.append(vc)
+        attn = attention_fn(layer, q, kc, vc)  # [B, hq, d]
+        x = x + (attn.reshape(B, hq * d) @ params["wo"][layer]).astype(x.dtype)
+
+        xn = rmsnorm(x, params["mlp_norm"][layer], cfg.rms_eps)
+        gate_up = xn @ params["w_gate_up"][layer]
+        x = x + (silu_and_mul(gate_up) @ params["w_down"][layer]).astype(x.dtype)
+
+    x = rmsnorm(x, params["final_norm"], cfg.rms_eps)
+    logits = (x @ params["lm_head"]).astype(jnp.float32)
+    return logits, (jnp.stack(new_k), jnp.stack(new_v))

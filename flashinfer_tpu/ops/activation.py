@@ -1,0 +1,45 @@
+"""Gated activation ops.
+
+Reference parity: flashinfer/activation.py:101-255 (`silu_and_mul`,
+`gelu_and_mul`, `gelu_tanh_and_mul`), kernels include/flashinfer/activation.cuh.
+
+Same TPU-first rationale as norm.py: these are elementwise and XLA fuses
+them into the producing GEMM's epilogue; jnp IS the fast path. Input
+convention matches the reference: x = [..., 2*d] where the first half is the
+gate input and the second half the up-projection.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+__all__ = ["silu_and_mul", "gelu_and_mul", "gelu_tanh_and_mul"]
+
+
+def _split(x: jax.Array):
+    d = x.shape[-1] // 2
+    return x[..., :d], x[..., d:]
+
+
+def silu_and_mul(x: jax.Array, *, enable_pdl: bool = None) -> jax.Array:
+    """out = silu(x[..., :d]) * x[..., d:] (reference activation.py:101).
+    ``enable_pdl`` accepted for API parity; PDL is a CUDA-launch concept
+    with no TPU analogue."""
+    gate, up = _split(x)
+    g32 = gate.astype(jnp.float32)
+    return (g32 * jax.nn.sigmoid(g32) * up.astype(jnp.float32)).astype(x.dtype)
+
+
+def gelu_and_mul(x: jax.Array, *, enable_pdl: bool = None) -> jax.Array:
+    """Exact (erf) GeLU gate (reference activation.py:155)."""
+    gate, up = _split(x)
+    g = jax.nn.gelu(gate.astype(jnp.float32), approximate=False)
+    return (g * up.astype(jnp.float32)).astype(x.dtype)
+
+
+def gelu_tanh_and_mul(x: jax.Array, *, enable_pdl: bool = None) -> jax.Array:
+    """tanh-approximated GeLU gate (reference activation.py:205)."""
+    gate, up = _split(x)
+    g = jax.nn.gelu(gate.astype(jnp.float32), approximate=True)
+    return (g * up.astype(jnp.float32)).astype(x.dtype)

@@ -1,0 +1,548 @@
+"""Batch attention wrappers — the public plan/run API.
+
+Reference parity:
+  * ``BatchAttention``                      (flashinfer/attention.py:42)
+  * ``BatchPrefillWithPagedKVCacheWrapper`` (flashinfer/prefill.py:1226)
+  * ``BatchPrefillWithRaggedKVCacheWrapper``(flashinfer/prefill.py:2255)
+  * ``BatchDecodeWithPagedKVCacheWrapper``  (flashinfer/decode.py:581)
+  * ``BatchAttentionWithAttentionSinkWrapper`` (flashinfer/attention.py:201)
+
+Architecture (TPU-first, see SURVEY.md §7): ``plan()`` runs on the host
+(NumPy), turning the batch's indptrs into padded, static-shape work
+descriptors plus gather maps (one small H2D upload — the analogue of the
+reference's single pinned-memory copy, scheduler.cuh:790). ``run()`` is pure
+traced JAX: gather q into the GQA-packed padded layout → Pallas paged/ragged
+kernel → segment softmax-merge of split-KV partials → scatter back. Because
+every shape in run() is a pure function of the plan's *bucketed* sizes, XLA
+compiles one program per bucket and replays it — the role CUDA graphs play
+in the reference.
+
+The reference's workspace buffers (float_workspace_buffer etc.) do not exist
+here: XLA owns scratch allocation. ``plan()`` accepts and ignores
+workspace-like kwargs for drop-in familiarity.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+import math
+from typing import Any, Optional, Sequence, Tuple, Union
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from flashinfer_tpu.ops.attention.kernels.paged import batch_paged_attention_run
+from flashinfer_tpu.ops.attention.reference import attention_reference
+from flashinfer_tpu.ops.attention.state import scatter_merge_states
+from flashinfer_tpu.ops.attention.variants import (
+    AttentionVariant,
+    make_default_variant,
+)
+from flashinfer_tpu.ops.page import unpack_paged_kv_cache
+from flashinfer_tpu.scheduler.plan import AttentionPlan, plan_attention
+from flashinfer_tpu.utils import (
+    TensorLayout,
+    cdiv,
+    check_kv_layout,
+    next_power_of_2,
+    on_tpu,
+    round_up,
+)
+
+__all__ = [
+    "BatchAttention",
+    "BatchPrefillWithPagedKVCacheWrapper",
+    "BatchPrefillWithRaggedKVCacheWrapper",
+    "BatchDecodeWithPagedKVCacheWrapper",
+    "BatchAttentionWithAttentionSinkWrapper",
+]
+
+
+def _bucket(n: int, minimum: int = 1) -> int:
+    return max(minimum, next_power_of_2(n))
+
+
+@dataclasses.dataclass
+class _PlanState:
+    plan: AttentionPlan
+    plan_arrays: Tuple[jax.Array, ...]
+    kv_indices: jax.Array  # padded+clamped page table (or token base dummy)
+    row_src: jax.Array  # [bucket_rows] gather into (token*group) row space
+    row_valid: jax.Array  # [bucket_rows] bool
+    merge_out_row: jax.Array  # [T*tile_q]
+    out_map: jax.Array  # [nnz*group] padded-row index per (token, g)
+    bucket_rows: int
+    nnz: int
+    num_qo_heads: int
+    num_kv_heads: int
+    head_dim_qk: int
+    head_dim_vo: int
+    page_size: int
+    causal: bool
+    sm_scale: float
+    window_left: int
+    ragged: bool
+    # host copies for the reference fallback
+    host: dict = dataclasses.field(default_factory=dict)
+
+
+class BatchAttention:
+    """Unified variable-length paged attention with plan/run split
+    (reference flashinfer/attention.py:42 BatchAttention; its holistic
+    two-stage scheduler maps to scheduler/plan.py)."""
+
+    def __init__(
+        self,
+        kv_layout: str = "HND",
+        *,
+        backend: str = "auto",
+        tile_q: Optional[int] = None,
+        tile_k: int = 512,
+        variant: Optional[AttentionVariant] = None,
+    ):
+        self._layout = check_kv_layout(kv_layout)
+        self._backend = backend
+        self._tile_q = tile_q
+        self._tile_k = tile_k
+        self._variant = variant
+        self._variant_params = None
+        self._state: Optional[_PlanState] = None
+        self._ragged = False
+
+    # -- plan ---------------------------------------------------------------
+
+    def plan(
+        self,
+        qo_indptr,
+        kv_indptr,
+        kv_indices,
+        kv_last_page_len,
+        num_qo_heads: int,
+        num_kv_heads: int,
+        head_dim_qk: int,
+        page_size: int,
+        *,
+        head_dim_vo: Optional[int] = None,
+        causal: bool = False,
+        sm_scale: Optional[float] = None,
+        window_left: int = -1,
+        logits_soft_cap: float = 0.0,
+        kv_chunk_size: Optional[int] = None,
+        kv_len_arr=None,
+        variant_params: Any = None,
+        **_ignored,  # workspace buffers etc. accepted for API familiarity
+    ):
+        """Host-side plan; see module docstring. All indptr/indices args are
+        host arrays (NumPy or small device arrays — they are pulled to host,
+        mirroring the reference's D2H sync at plan time, prefill.py:1717)."""
+        qo_indptr = np.asarray(qo_indptr, np.int64)
+        kv_indptr = np.asarray(kv_indptr, np.int64)
+        kv_indices_np = np.asarray(kv_indices, np.int64)
+        batch = len(qo_indptr) - 1
+        head_dim_vo = head_dim_vo or head_dim_qk
+        if sm_scale is None:
+            sm_scale = 1.0 / math.sqrt(head_dim_qk)
+        assert num_qo_heads % num_kv_heads == 0
+        group = num_qo_heads // num_kv_heads
+
+        if kv_len_arr is not None:
+            kv_lens = np.asarray(kv_len_arr, np.int64)
+        elif self._ragged:
+            kv_lens = kv_indptr[1:] - kv_indptr[:-1]
+        else:
+            last = np.asarray(kv_last_page_len, np.int64)
+            npages = kv_indptr[1:] - kv_indptr[:-1]
+            kv_lens = np.where(npages > 0, (npages - 1) * page_size + last, 0)
+
+        qo_lens = qo_indptr[1:] - qo_indptr[:-1]
+        qo_token_total = int(qo_indptr[-1])
+
+        # tile_q: decode-ish batches get a group-sized tile, prefill 128 rows
+        avg_packed = max(1, int((qo_lens * group).mean())) if batch else 1
+        tile_q = self._tile_q or min(128, max(8, next_power_of_2(avg_packed)))
+        tile_q = max(tile_q, next_power_of_2(group), 8)
+
+        packed_lens = qo_lens * group
+        padded_lens = np.maximum(round_up_np(packed_lens, tile_q), 0)
+        padded_indptr = np.concatenate([[0], np.cumsum(padded_lens)])
+        total_padded = int(padded_indptr[-1])
+        bucket_rows = _bucket(max(total_padded, tile_q))
+
+        chunk = kv_chunk_size
+        plan = plan_attention(
+            padded_indptr,
+            kv_lens,
+            qo_token_lens=qo_lens,
+            gqa_group=group,
+            kv_indptr=None if self._ragged else kv_indptr,
+            page_size=1 if self._ragged else page_size,
+            tile_q=tile_q,
+            kv_chunk_size=chunk,
+            causal=causal,
+        )
+        if self._ragged:
+            # rebase kv_page_start to global token offsets
+            req = plan.request_indices
+            base = np.where(req >= 0, kv_indptr[np.maximum(req, 0)], 0)
+            plan = dataclasses.replace(
+                plan, kv_page_start=(plan.kv_page_start + base).astype(np.int32)
+            )
+
+        # --- gather maps (host) ---
+        rows = np.arange(bucket_rows)
+        req_of_row = np.clip(
+            np.searchsorted(padded_indptr, rows, side="right") - 1, 0, batch - 1
+        )
+        local = rows - padded_indptr[req_of_row]
+        valid_row = (local < packed_lens[req_of_row]) & (rows < total_padded)
+        token = qo_indptr[req_of_row] + local // group
+        g = local % group
+        row_src = np.where(valid_row, token * group + g, 0).astype(np.int32)
+
+        # (token, g) -> padded row
+        tg = np.arange(qo_token_total * group)
+        tok = tg // group
+        gg = tg % group
+        req_of_tok = np.clip(
+            np.searchsorted(qo_indptr, tok, side="right") - 1, 0, batch - 1
+        )
+        out_map = (
+            padded_indptr[req_of_tok]
+            + (tok - qo_indptr[req_of_tok]) * group
+            + gg
+        ).astype(np.int32)
+
+        # merge map padded to T*tile_q already; destination rows are padded
+        merge_out_row = plan.merge_out_row
+
+        # page table upload: pad to bucket, clamp values
+        if self._ragged:
+            kv_idx_dev = jnp.zeros((1,), jnp.int32)
+        else:
+            cap = _bucket(max(len(kv_indices_np), 1))
+            padded_idx = np.zeros(cap, np.int32)
+            padded_idx[: len(kv_indices_np)] = kv_indices_np
+            kv_idx_dev = jnp.asarray(padded_idx)
+
+        variant = self._variant or make_default_variant(
+            logits_soft_cap=logits_soft_cap
+        )
+        self._variant_resolved = variant
+        self._variant_params = variant_params
+
+        self._state = _PlanState(
+            plan=plan,
+            plan_arrays=tuple(jnp.asarray(a) for a in plan.prefetch_arrays()),
+            kv_indices=kv_idx_dev,
+            row_src=jnp.asarray(row_src),
+            row_valid=jnp.asarray(valid_row),
+            merge_out_row=jnp.asarray(merge_out_row),
+            out_map=jnp.asarray(out_map),
+            bucket_rows=bucket_rows,
+            nnz=qo_token_total,
+            num_qo_heads=num_qo_heads,
+            num_kv_heads=num_kv_heads,
+            head_dim_qk=head_dim_qk,
+            head_dim_vo=head_dim_vo,
+            page_size=page_size,
+            causal=causal,
+            sm_scale=sm_scale,
+            window_left=window_left,
+            ragged=self._ragged,
+            host=dict(
+                qo_indptr=qo_indptr,
+                kv_indptr=kv_indptr,
+                kv_indices=kv_indices_np,
+                kv_lens=kv_lens,
+            ),
+        )
+        return self
+
+    # -- run ----------------------------------------------------------------
+
+    def _resolve_backend(self):
+        if self._backend == "auto":
+            return "pallas" if on_tpu() else "reference"
+        return self._backend
+
+    def run(
+        self,
+        q: jax.Array,
+        kv_cache,
+        *,
+        return_lse: bool = False,
+        interpret: Optional[bool] = None,
+    ):
+        """Execute the planned batch. q: [nnz_tokens, num_qo_heads, head_dim].
+        kv_cache: paged cache ((k, v) or stacked; layout per wrapper) or, for
+        ragged wrappers, (k, v) with [total_kv, num_kv_heads, head_dim]."""
+        st = self._state
+        assert st is not None, "call plan() before run()"
+        backend = self._resolve_backend()
+        if backend == "reference" and interpret is None:
+            return self._run_reference(q, kv_cache, return_lse)
+        return self._run_pallas(q, kv_cache, return_lse, interpret)
+
+    def _split_cache(self, kv_cache):
+        st = self._state
+        if st.ragged:
+            k, v = kv_cache
+            return k, v
+        if self._layout == TensorLayout.HND:
+            if isinstance(kv_cache, (tuple, list)):
+                k, v = kv_cache
+            else:
+                k, v = kv_cache[:, 0], kv_cache[:, 1]
+            return k, v  # already [pages, kvh, page_size, d]
+        else:
+            if isinstance(kv_cache, (tuple, list)):
+                k, v = kv_cache
+            else:
+                k, v = kv_cache[:, 0], kv_cache[:, 1]
+            return k, v  # [pages, page_size, kvh, d] (NHD path in kernel)
+
+    def _run_pallas(self, q, kv_cache, return_lse, interpret):
+        st = self._state
+        group = st.num_qo_heads // st.num_kv_heads
+        nnz, hq, d = q.shape
+        assert nnz == st.nnz, f"q rows {nnz} != planned {st.nnz}"
+        k, v = self._split_cache(kv_cache)
+
+        # pack q: [kvh, bucket_rows, d]
+        q_r = (
+            q.reshape(nnz, st.num_kv_heads, group, d)
+            .transpose(1, 0, 2, 3)
+            .reshape(st.num_kv_heads, nnz * group, d)
+        )
+        packed = jnp.take(q_r, st.row_src, axis=1)
+        packed = jnp.where(st.row_valid[None, :, None], packed, 0)
+
+        if st.ragged:
+            # pad kv so tile_k window DMAs never run off the end
+            pad = self._tile_k
+            k = jnp.pad(k, ((0, pad), (0, 0), (0, 0)))
+            v = jnp.pad(v, ((0, pad), (0, 0), (0, 0)))
+
+        partial_o, partial_lse = batch_paged_attention_run(
+            packed,
+            k,
+            v,
+            st.kv_indices,
+            st.plan_arrays,
+            plan_meta=st.plan,
+            causal=st.causal,
+            sm_scale=st.sm_scale,
+            window_left=st.window_left,
+            tile_k=self._tile_k,
+            variant=self._variant_resolved,
+            variant_params=self._variant_params,
+            kv_layout=self._layout,
+            ragged=st.ragged,
+            interpret=interpret,
+        )
+        T, kvh, tile_q, dv = partial_o.shape
+        pv = partial_o.transpose(0, 2, 1, 3).reshape(T * tile_q, kvh, dv)
+        ps = partial_lse.transpose(0, 2, 1).reshape(T * tile_q, kvh)
+        merged_v, merged_s = scatter_merge_states(
+            pv, ps, st.merge_out_row, st.bucket_rows
+        )
+        out = jnp.take(merged_v, st.out_map, axis=0)  # [nnz*group, kvh, dv]
+        out = (
+            out.reshape(nnz, group, kvh, dv)
+            .transpose(0, 2, 1, 3)
+            .reshape(nnz, hq, dv)[:, :, : st.head_dim_vo]
+        )
+        if return_lse:
+            lse = jnp.take(merged_s, st.out_map, axis=0)
+            lse = (
+                lse.reshape(nnz, group, kvh).transpose(0, 2, 1).reshape(nnz, hq)
+            )
+            return out, lse
+        return out
+
+    def _run_reference(self, q, kv_cache, return_lse):
+        """Concrete-value oracle path (CPU default): gathers each request's
+        KV from pages and calls the dense oracle. Not jittable; used for
+        tests and non-TPU fallback."""
+        st = self._state
+        h = st.host
+        nnz, hq, d = q.shape
+        outs, lses = [], []
+        if st.ragged:
+            k_all, v_all = kv_cache
+        else:
+            k_cache, v_cache = self._split_cache(kv_cache)
+            if self._layout == TensorLayout.NHD:
+                k_cache = jnp.swapaxes(k_cache, 1, 2)
+                v_cache = jnp.swapaxes(v_cache, 1, 2)
+            # now [pages, kvh, page_size, d]
+        for r in range(len(h["qo_indptr"]) - 1):
+            q_r = q[h["qo_indptr"][r] : h["qo_indptr"][r + 1]]
+            kv_len = int(h["kv_lens"][r])
+            if st.ragged:
+                k_r = k_all[h["kv_indptr"][r] : h["kv_indptr"][r] + kv_len]
+                v_r = v_all[h["kv_indptr"][r] : h["kv_indptr"][r] + kv_len]
+            else:
+                pages = h["kv_indices"][
+                    h["kv_indptr"][r] : h["kv_indptr"][r + 1]
+                ]
+                k_r = (
+                    k_cache[pages]
+                    .transpose(0, 2, 1, 3)
+                    .reshape(-1, st.num_kv_heads, k_cache.shape[-1])[:kv_len]
+                )
+                v_r = (
+                    v_cache[pages]
+                    .transpose(0, 2, 1, 3)
+                    .reshape(-1, st.num_kv_heads, v_cache.shape[-1])[:kv_len]
+                )
+            o, lse = attention_reference(
+                q_r,
+                k_r,
+                v_r,
+                causal=st.causal,
+                sm_scale=st.sm_scale,
+                window_left=st.window_left,
+                variant=self._variant_resolved,
+                variant_params=self._variant_params,
+            )
+            outs.append(o)
+            lses.append(lse)
+        out = jnp.concatenate(outs, 0) if outs else jnp.zeros((0, hq, d), q.dtype)
+        if return_lse:
+            lse = (
+                jnp.concatenate(lses, 0)
+                if lses
+                else jnp.zeros((0, hq), jnp.float32)
+            )
+            return out, lse
+        return out
+
+
+def round_up_np(x, m):
+    return ((x + m - 1) // m) * m
+
+
+class BatchPrefillWithPagedKVCacheWrapper(BatchAttention):
+    """Reference parity: flashinfer/prefill.py:1226 (plan :1523, run :1979)."""
+
+    def __init__(self, float_workspace_buffer=None, kv_layout: str = "HND", **kw):
+        super().__init__(kv_layout=kv_layout, **kw)
+
+    def plan(  # noqa: D102 - see BatchAttention.plan
+        self,
+        qo_indptr,
+        paged_kv_indptr,
+        paged_kv_indices,
+        paged_kv_last_page_len,
+        num_qo_heads,
+        num_kv_heads,
+        head_dim_qk,
+        page_size,
+        **kwargs,
+    ):
+        return super().plan(
+            qo_indptr,
+            paged_kv_indptr,
+            paged_kv_indices,
+            paged_kv_last_page_len,
+            num_qo_heads,
+            num_kv_heads,
+            head_dim_qk,
+            page_size,
+            **kwargs,
+        )
+
+
+class BatchDecodeWithPagedKVCacheWrapper(BatchAttention):
+    """Reference parity: flashinfer/decode.py:581 (plan :810, run :1163).
+    Decode always uses the GQA-packed 'tensor-core' path (the reference's
+    use_tensor_cores=True route, decode.py:1030)."""
+
+    def __init__(self, float_workspace_buffer=None, kv_layout: str = "HND", **kw):
+        kw.setdefault("tile_q", None)
+        super().__init__(kv_layout=kv_layout, **kw)
+
+    def plan(
+        self,
+        indptr,
+        indices,
+        last_page_len,
+        num_qo_heads,
+        num_kv_heads,
+        head_dim,
+        page_size,
+        **kwargs,
+    ):
+        batch = len(np.asarray(indptr)) - 1
+        qo_indptr = np.arange(batch + 1)
+        kwargs.setdefault("causal", False)
+        return super().plan(
+            qo_indptr,
+            indptr,
+            indices,
+            last_page_len,
+            num_qo_heads,
+            num_kv_heads,
+            head_dim,
+            page_size,
+            **kwargs,
+        )
+
+
+class BatchPrefillWithRaggedKVCacheWrapper(BatchAttention):
+    """Reference parity: flashinfer/prefill.py:2255. KV is contiguous
+    [total_kv, num_kv_heads, head_dim] addressed by a token indptr."""
+
+    def __init__(self, float_workspace_buffer=None, kv_layout: str = "NHD", **kw):
+        super().__init__(kv_layout=kv_layout, **kw)
+        self._ragged = True
+
+    def plan(
+        self,
+        qo_indptr,
+        kv_indptr,
+        num_qo_heads,
+        num_kv_heads,
+        head_dim_qk,
+        **kwargs,
+    ):
+        kv_indptr = np.asarray(kv_indptr, np.int64)
+        return super().plan(
+            qo_indptr,
+            kv_indptr,
+            np.zeros(0, np.int64),
+            np.zeros(len(kv_indptr) - 1, np.int64),
+            num_qo_heads,
+            num_kv_heads,
+            head_dim_qk,
+            page_size=1,
+            **kwargs,
+        )
+
+    def run(self, q, k, v=None, **kwargs):
+        if v is None:
+            k, v = k  # allow run(q, (k, v))
+        return super().run(q, (k, v), **kwargs)
+
+
+class BatchAttentionWithAttentionSinkWrapper(BatchAttention):
+    """GPT-OSS attention sinks (reference flashinfer/attention.py:201): an
+    extra per-head logit joins the softmax denominator. Implemented as a
+    variant whose sink rides the merge: the sink state is (v=0, s=sink),
+    merged once per output row after the kernel."""
+
+    def __init__(self, sink: jax.Array, kv_layout: str = "HND", **kw):
+        super().__init__(kv_layout=kv_layout, **kw)
+        self._sink = jnp.asarray(sink, jnp.float32)
+
+    def run(self, q, kv_cache, *, return_lse: bool = False, **kwargs):
+        out, lse = super().run(q, kv_cache, return_lse=True, **kwargs)
+        # merge sink state: v=0, s=log(exp(sink)) = sink per head
+        sink = jnp.broadcast_to(self._sink[None, :], lse.shape)
+        from flashinfer_tpu.ops.attention.state import merge_state
+
+        out_m, lse_m = merge_state(out, lse, jnp.zeros_like(out), sink)
+        return (out_m, lse_m) if return_lse else out_m

@@ -1,0 +1,475 @@
+"""Batch paged/ragged attention Pallas kernel — the plan/run "run" stage.
+
+Reference parity: BatchPrefillWithPagedKVCacheDispatched
+(include/flashinfer/attention/prefill.cuh:2551), BatchDecodeWithPagedKVCache
+(decode.cuh:741) and the persistent holistic kernel (persistent.cuh:177).
+One TPU kernel covers all three: the host planner (scheduler/plan.py) turns
+any mix of prefill/append/decode requests into uniform (request × qo_tile ×
+kv_chunk) work items, and this kernel executes the padded work list — the
+TPU analogue of the reference's CUDA-graph-capturable persistent run stage.
+
+TPU-first design decisions:
+  * GQA head packing: q rows are (token, group-head) pairs
+    (packed_qo_len = qo_len * group, the reference's scheduler.cuh:506 trick)
+    so decode tiles still feed the MXU [tile_q, d] x [d, tile_k].
+  * Page gather: TPU has no pointer-chasing loads, so pages are gathered by
+    explicit double-buffered DMA — while sub-tile j computes, the DMAs for
+    the *next grid step* (possibly a different work item/head) are already in
+    flight; descriptors live in SMEM via scalar prefetch so next-step
+    addresses are computable ahead of time. This is the software analogue of
+    the reference's cp.async pipeline, expressed at page granularity.
+  * Split-KV: every work item writes a (v, s) partial state; a segment
+    softmax-merge (state.py) combines chunks. Padding items emit s = -inf
+    (the merge identity).
+
+Cache layout: HND [num_pages, num_kv_heads, page_size, head_dim] makes a
+page's (page_size × head_dim) block contiguous per head — one efficient DMA.
+NHD [num_pages, page_size, num_kv_heads, head_dim] is supported via strided
+DMA (slower; HND recommended on TPU).
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+from typing import Any, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from flashinfer_tpu.ops.attention.variants import AttentionVariant, DefaultAttention
+from flashinfer_tpu.scheduler.plan import AttentionPlan
+from flashinfer_tpu.utils import TensorLayout, cdiv, default_interpret, round_up
+
+__all__ = ["batch_paged_attention_run"]
+
+_NEG_INF = float("-inf")
+_LANES = 128
+
+# scalar-prefetch operand order (must match AttentionPlan.prefetch_arrays)
+_NUM_PLAN_ARRAYS = 10
+(
+    _REQ,
+    _QO_TILE,
+    _KV_TILE,
+    _QO_START,
+    _QO_LEN,
+    _KV_START,
+    _KV_END,
+    _KV_PAGE_START,
+    _NUM_SPLITS,
+    _Q_POS_BASE,
+) = range(_NUM_PLAN_ARRAYS)
+_KV_INDICES = _NUM_PLAN_ARRAYS  # + kv_indices as the 11th prefetch operand
+
+
+def _variant_plumbing_grouped(variant_params, num_kv_heads, group):
+    """Like flash.py's plumbing, but per-head leaves are blocked per KV head:
+    the kernel sees that head's [group, ...] slice and hooks index it with
+    head_idx = packed_row % group."""
+    if variant_params is None:
+        return [], [], lambda loaded: None
+    num_qo_heads = num_kv_heads * group
+    leaves, treedef = jax.tree_util.tree_flatten(variant_params)
+    arrays, specs, metas = [], [], []
+    for leaf in leaves:
+        leaf = jnp.asarray(leaf)
+        if leaf.ndim >= 1 and leaf.shape[0] == num_qo_heads:
+            rest = leaf.shape[1:]
+            flat = leaf.reshape(num_kv_heads, -1)  # [kvh, group * prod(rest)]
+            specs.append(
+                pl.BlockSpec(
+                    (1, flat.shape[1]),
+                    lambda w, h, j, *s: (h, 0),
+                    memory_space=pltpu.VMEM,
+                )
+            )
+            metas.append(("head", rest))
+            arrays.append(flat)
+        else:
+            flat = leaf.reshape(1, -1) if leaf.ndim < 2 else leaf
+            specs.append(
+                pl.BlockSpec(
+                    flat.shape,
+                    lambda w, h, j, *s: (0,) * flat.ndim,
+                    memory_space=pltpu.VMEM,
+                )
+            )
+            metas.append(("full", leaf.shape))
+            arrays.append(flat)
+
+    def rebuild(loaded):
+        out = []
+        for val, (kind, shape) in zip(loaded, metas):
+            if kind == "head":
+                out.append(val.reshape((group,) + tuple(shape)))
+            else:
+                out.append(val.reshape(shape))
+        return jax.tree_util.tree_unflatten(treedef, out)
+
+    return arrays, specs, rebuild
+
+
+def _paged_kernel(
+    *refs,
+    num_variant_leaves: int,
+    rebuild_params,
+    variant: AttentionVariant,
+    sm_scale: float,
+    window_left: int,
+    causal: bool,
+    group: int,
+    tile_q: int,
+    tile_k: int,
+    page_size: int,
+    nsub: int,
+    num_kv_heads: int,
+    layout: TensorLayout,
+    num_items: int,
+    ragged: bool,
+):
+    # --- unpack refs ---
+    idx = 0
+    plan_refs = refs[idx : idx + _NUM_PLAN_ARRAYS]
+    idx += _NUM_PLAN_ARRAYS
+    kv_indices_ref = refs[idx]; idx += 1
+    q_ref = refs[idx]; idx += 1
+    k_hbm = refs[idx]; idx += 1
+    v_hbm = refs[idx]; idx += 1
+    variant_refs = refs[idx : idx + num_variant_leaves]
+    idx += num_variant_leaves
+    out_ref, lse_ref = refs[idx : idx + 2]
+    idx += 2
+    k_buf, v_buf, sem_k, sem_v, acc_ref, m_ref, l_ref = refs[idx : idx + 7]
+
+    w = pl.program_id(0)
+    h = pl.program_id(1)
+    j = pl.program_id(2)
+    ppst = tile_k // page_size  # pages per sub-tile
+    flat = (w * num_kv_heads + h) * nsub + j
+    total_steps = num_items * num_kv_heads * nsub
+
+    def descriptors(wi, ji):
+        kv_s = plan_refs[_KV_START][wi]
+        kv_e = plan_refs[_KV_END][wi]
+        page0 = plan_refs[_KV_PAGE_START][wi]
+        sub_start = ji * tile_k  # within-chunk token offset
+        remaining = kv_e - kv_s - sub_start
+        return page0, sub_start, remaining
+
+    def start_dmas(wi, hi, ji, slot):
+        page0, sub_start, remaining = descriptors(wi, ji)
+        if ragged:
+            # contiguous KV: one strided DMA of tile_k rows from the global
+            # token offset (page0 carries kv_indptr[r] + kv_start here)
+            @pl.when(remaining > 0)
+            def _():
+                row0 = page0 + sub_start
+                pltpu.make_async_copy(
+                    k_hbm.at[pl.ds(row0, tile_k), hi, :],
+                    k_buf.at[slot], sem_k.at[slot, 0],
+                ).start()
+                pltpu.make_async_copy(
+                    v_hbm.at[pl.ds(row0, tile_k), hi, :],
+                    v_buf.at[slot], sem_v.at[slot, 0],
+                ).start()
+            return
+        for p in range(ppst):
+            @pl.when(p * page_size < remaining)
+            def _():
+                page_id = kv_indices_ref[page0 + sub_start // page_size + p]
+                if layout == TensorLayout.HND:
+                    k_src = k_hbm.at[page_id, hi]
+                    v_src = v_hbm.at[page_id, hi]
+                else:  # NHD: strided per-head slice
+                    k_src = k_hbm.at[page_id, :, hi, :]
+                    v_src = v_hbm.at[page_id, :, hi, :]
+                pltpu.make_async_copy(
+                    k_src,
+                    k_buf.at[slot, pl.ds(p * page_size, page_size), :],
+                    sem_k.at[slot, p],
+                ).start()
+                pltpu.make_async_copy(
+                    v_src,
+                    v_buf.at[slot, pl.ds(p * page_size, page_size), :],
+                    sem_v.at[slot, p],
+                ).start()
+
+    def wait_dmas(wi, ji, slot):
+        page0, sub_start, remaining = descriptors(wi, ji)
+        if ragged:
+            @pl.when(remaining > 0)
+            def _():
+                pltpu.make_async_copy(
+                    k_buf.at[slot], k_buf.at[slot], sem_k.at[slot, 0]
+                ).wait()
+                pltpu.make_async_copy(
+                    v_buf.at[slot], v_buf.at[slot], sem_v.at[slot, 0]
+                ).wait()
+            return
+        for p in range(ppst):
+            @pl.when(p * page_size < remaining)
+            def _():
+                # dst shapes must match the started copy for wait accounting
+                pltpu.make_async_copy(
+                    k_buf.at[slot, pl.ds(p * page_size, page_size), :],
+                    k_buf.at[slot, pl.ds(p * page_size, page_size), :],
+                    sem_k.at[slot, p],
+                ).wait()
+                pltpu.make_async_copy(
+                    v_buf.at[slot, pl.ds(p * page_size, page_size), :],
+                    v_buf.at[slot, pl.ds(p * page_size, page_size), :],
+                    sem_v.at[slot, p],
+                ).wait()
+
+    # --- pipeline: warm up on the very first step, then prefetch next ---
+    @pl.when(flat == 0)
+    def _warmup():
+        start_dmas(w, h, j, 0)
+
+    @pl.when(flat + 1 < total_steps)
+    def _prefetch_next():
+        nf = flat + 1
+        wn = nf // (num_kv_heads * nsub)
+        rem = nf % (num_kv_heads * nsub)
+        hn = rem // nsub
+        jn = rem % nsub
+        start_dmas(wn, hn, jn, nf % 2)
+
+    @pl.when(j == 0)
+    def _init():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+        m_ref[:] = jnp.full_like(m_ref, _NEG_INF)
+        l_ref[:] = jnp.zeros_like(l_ref)
+
+    slot = flat % 2
+    wait_dmas(w, j, slot)
+
+    page0, sub_start, remaining = descriptors(w, j)
+    valid_item = plan_refs[_REQ][w] >= 0
+
+    @pl.when(jnp.logical_and(valid_item, remaining > 0))
+    def _compute():
+        q = q_ref[0]  # [tile_q, d]
+        k = k_buf[slot]  # [tile_k, d]
+        v = v_buf[slot]
+        params = rebuild_params([r[:] for r in variant_refs])
+
+        qf = q
+        if variant.query_transform is not None:
+            qf = variant.query_transform(params, qf.astype(jnp.float32))
+        s = jax.lax.dot_general(
+            qf, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        s = s * sm_scale
+
+        # positions
+        qo_local0 = plan_refs[_QO_TILE][w] * tile_q
+        row = jax.lax.broadcasted_iota(jnp.int32, (tile_q, tile_k), 0)
+        col = jax.lax.broadcasted_iota(jnp.int32, (tile_q, tile_k), 1)
+        q_tok = plan_refs[_Q_POS_BASE][w] + (qo_local0 + row) // group
+        kv_pos = plan_refs[_KV_START][w] + sub_start + col
+        head_idx = row % group if group > 1 else jnp.zeros_like(row)
+
+        if variant.logits_transform is not None:
+            s = variant.logits_transform(params, s, q_tok, kv_pos, head_idx)
+
+        mask = col < remaining  # inside this sub-tile's valid kv
+        if causal:
+            mask = jnp.logical_and(mask, kv_pos <= q_tok)
+        if window_left >= 0:
+            mask = jnp.logical_and(mask, kv_pos > q_tok - window_left - 1)
+        if variant.logits_mask is not None:
+            mask = jnp.logical_and(
+                mask, variant.logits_mask(params, q_tok, kv_pos, head_idx)
+            )
+
+        s = jnp.where(mask, s, _NEG_INF)
+        m_prev = m_ref[:]
+        m_cur = jnp.max(s, axis=1, keepdims=True)
+        m_new = jnp.maximum(m_prev, m_cur)
+        m_safe = jnp.where(jnp.isneginf(m_new), 0.0, m_new)
+        p = jnp.exp(s - m_safe[:, :1])
+        p = jnp.where(mask, p, 0.0)
+        alpha = jnp.where(jnp.isneginf(m_prev), 0.0, jnp.exp(m_prev - m_safe))
+        l_ref[:] = l_ref[:] * alpha + jnp.sum(p, axis=1, keepdims=True)
+        m_ref[:] = m_new
+        # rows of v beyond the valid kv range hold whatever the DMA left
+        # behind (NaN in interpret mode); 0 * NaN = NaN, so zero them.
+        col_valid = (
+            jax.lax.broadcasted_iota(jnp.int32, (tile_k, 1), 0) < remaining
+        )
+        v_safe = jnp.where(col_valid, v, 0)
+        pv = jax.lax.dot_general(
+            p.astype(v.dtype), v_safe, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        acc_ref[:] = acc_ref[:] * alpha[:, :1] + pv
+
+    @pl.when(j == nsub - 1)
+    def _finalize():
+        m = m_ref[:, :1]
+        l = l_ref[:, :1]
+        safe_l = jnp.where(l > 0, l, 1.0)
+        out = acc_ref[:] / safe_l
+        m_safe = jnp.where(jnp.isneginf(m), 0.0, m)
+        lse = jnp.where(l > 0, m_safe + jnp.log(safe_l), _NEG_INF)
+        out_ref[0, 0] = out.astype(out_ref.dtype)
+        lse_ref[0, 0] = jnp.broadcast_to(lse, lse_ref.shape[2:])
+
+
+def batch_paged_attention_run(
+    q_packed: jax.Array,
+    k_cache: jax.Array,
+    v_cache: jax.Array,
+    kv_indices: jax.Array,
+    plan_arrays: Tuple[jax.Array, ...],
+    *,
+    plan_meta: AttentionPlan,
+    causal: bool,
+    sm_scale: float,
+    window_left: int = -1,
+    tile_k: int = 512,
+    variant: AttentionVariant = DefaultAttention,
+    variant_params: Any = None,
+    kv_layout: TensorLayout = TensorLayout.HND,
+    ragged: bool = False,
+    interpret: Optional[bool] = None,
+) -> Tuple[jax.Array, jax.Array]:
+    """Run the planned work list.
+
+    Args:
+      q_packed: [num_kv_heads, padded_rows, head_dim] — GQA-packed,
+        per-request tile_q-aligned (see wrapper), zero-filled padding.
+      k_cache/v_cache: HND [pages, kvh, page_size, d] (or NHD
+        [pages, page_size, kvh, d]); if ragged=True, contiguous
+        [total_kv + tile_k pad, kvh, d] and the plan's kv_page_start holds
+        global token offsets.
+      kv_indices: [max_pages] int32 page table, values pre-clamped to
+        [0, num_pages).
+      plan_arrays: AttentionPlan.prefetch_arrays() as device arrays.
+
+    Returns:
+      partial_o [T, num_kv_heads, tile_q, head_dim_vo] (q dtype),
+      partial_lse [T, num_kv_heads, tile_q] f32 — merge with
+      state.variable_length_merge_states / the wrapper's scatter-merge.
+    """
+    if interpret is None:
+        interpret = default_interpret()
+    num_kv_heads, padded_rows, d_pad = q_packed.shape
+    if ragged:
+        page_size = None  # set to tile_k below
+        dv_pad = v_cache.shape[2]
+        assert k_cache.shape[1] == num_kv_heads
+    elif kv_layout == TensorLayout.HND:
+        page_size = k_cache.shape[2]
+        dv_pad = v_cache.shape[3]
+        assert k_cache.shape[1] == num_kv_heads
+    else:
+        page_size = k_cache.shape[1]
+        dv_pad = v_cache.shape[3]
+        assert k_cache.shape[2] == num_kv_heads
+    assert variant.use_softmax, "non-softmax variants: use the dense kernel"
+
+    tile_q = plan_meta.tile_q
+    group = plan_meta.gqa_group
+    T = plan_meta.num_work_items
+    tile_k = min(tile_k, plan_meta.kv_chunk_size)
+    if ragged:
+        page_size = tile_k
+    else:
+        tile_k = max(tile_k - tile_k % page_size, page_size)
+    assert plan_meta.kv_chunk_size % tile_k == 0, (
+        f"kv_chunk_size {plan_meta.kv_chunk_size} must be a multiple of "
+        f"tile_k {tile_k}"
+    )
+    nsub = plan_meta.kv_chunk_size // tile_k
+
+    v_arrays, v_specs, rebuild = _variant_plumbing_grouped(
+        variant_params, num_kv_heads, group
+    )
+
+    grid = (T, num_kv_heads, nsub)
+
+    def q_index(w, h, j, *s):
+        return (h, s[_QO_START][w] // tile_q, 0)
+
+    in_specs = [
+        pl.BlockSpec((1, tile_q, d_pad), q_index, memory_space=pltpu.VMEM),
+        pl.BlockSpec(memory_space=pltpu.ANY),  # k_cache stays in HBM
+        pl.BlockSpec(memory_space=pltpu.ANY),  # v_cache stays in HBM
+        *v_specs,
+    ]
+
+    kernel = functools.partial(
+        _paged_kernel,
+        num_variant_leaves=len(v_arrays),
+        rebuild_params=rebuild,
+        variant=variant,
+        sm_scale=sm_scale,
+        window_left=window_left,
+        causal=causal,
+        group=group,
+        tile_q=tile_q,
+        tile_k=tile_k,
+        page_size=page_size,
+        nsub=nsub,
+        num_kv_heads=num_kv_heads,
+        layout=kv_layout,
+        num_items=T,
+        ragged=ragged,
+    )
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=_NUM_PLAN_ARRAYS + 1,
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=[
+            pl.BlockSpec(
+                (1, 1, tile_q, dv_pad), lambda w, h, j, *s: (w, h, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, 1, tile_q, _LANES), lambda w, h, j, *s: (w, h, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((2, tile_k, d_pad), k_cache.dtype),
+            pltpu.VMEM((2, tile_k, dv_pad), v_cache.dtype),
+            pltpu.SemaphoreType.DMA((2, tile_k // page_size)),
+            pltpu.SemaphoreType.DMA((2, tile_k // page_size)),
+            pltpu.VMEM((tile_q, dv_pad), jnp.float32),
+            pltpu.VMEM((tile_q, _LANES), jnp.float32),
+            pltpu.VMEM((tile_q, _LANES), jnp.float32),
+        ],
+    )
+
+    kv_bytes = (
+        plan_meta.kv_chunk_size
+        * T
+        * (d_pad + dv_pad)
+        * k_cache.dtype.itemsize
+    )
+    partial_o, partial_lse = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((T, num_kv_heads, tile_q, dv_pad), q_packed.dtype),
+            jax.ShapeDtypeStruct((T, num_kv_heads, tile_q, _LANES), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary", "arbitrary"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * T * tile_q * plan_meta.kv_chunk_size * (d_pad + dv_pad) // 2
+            * num_kv_heads,
+            bytes_accessed=kv_bytes,
+            transcendentals=T * tile_q * plan_meta.kv_chunk_size,
+        ),
+        interpret=interpret,
+    )(*plan_arrays, kv_indices, q_packed, k_cache, v_cache, *v_arrays)
+
+    return partial_o, partial_lse[..., 0]

@@ -1,0 +1,182 @@
+"""Single-request attention ops.
+
+Reference parity: flashinfer/prefill.py:911 ``single_prefill_with_kv_cache``
+and flashinfer/decode.py:350 ``single_decode_with_kv_cache``.
+
+Backend selection (the TPU analogue of determine_attention_backend,
+reference utils.py:390): "pallas" runs the Mosaic kernel (interpreted off
+TPU), "reference" runs the pure-JAX oracle (useful on CPU and as the
+always-correct fallback), "auto" picks pallas on TPU else reference.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Any, Optional, Tuple, Union
+
+import jax
+import jax.numpy as jnp
+
+from flashinfer_tpu.ops.attention.kernels.flash import flash_attention_dense
+from flashinfer_tpu.ops.attention.reference import attention_reference
+from flashinfer_tpu.ops.attention.variants import (
+    AttentionVariant,
+    DefaultAttention,
+    make_default_variant,
+)
+from flashinfer_tpu.utils import (
+    PosEncodingMode,
+    TensorLayout,
+    check_kv_layout,
+    on_tpu,
+)
+
+__all__ = [
+    "single_prefill_with_kv_cache",
+    "single_decode_with_kv_cache",
+    "default_alibi_slopes",
+]
+
+
+def default_alibi_slopes(num_heads: int) -> jax.Array:
+    """Standard ALiBi slope schedule (press et al.); reference computes the
+    same in include/flashinfer/pos_enc.cuh get_alibi_slope."""
+    closest_pow2 = 2 ** math.floor(math.log2(num_heads))
+    base = jnp.arange(1, closest_pow2 + 1, dtype=jnp.float32)
+    slopes = 2.0 ** (-8.0 * base / closest_pow2)
+    if closest_pow2 != num_heads:
+        extra = jnp.arange(1, 2 * (num_heads - closest_pow2) + 1, 2, dtype=jnp.float32)
+        extra_slopes = 2.0 ** (-4.0 * extra / closest_pow2)
+        slopes = jnp.concatenate([slopes, extra_slopes])
+    return slopes[:num_heads]
+
+
+def _resolve_backend(backend: str) -> str:
+    if backend == "auto":
+        return "pallas" if on_tpu() else "reference"
+    return backend
+
+
+def _canon_pos_mode(mode) -> PosEncodingMode:
+    if isinstance(mode, str):
+        return PosEncodingMode[mode.upper()]
+    return PosEncodingMode(mode)
+
+
+def single_prefill_with_kv_cache(
+    q: jax.Array,
+    k: jax.Array,
+    v: jax.Array,
+    *,
+    custom_mask: Optional[jax.Array] = None,
+    causal: bool = False,
+    kv_layout: str = "NHD",
+    pos_encoding_mode: Union[str, PosEncodingMode] = "NONE",
+    sm_scale: Optional[float] = None,
+    window_left: int = -1,
+    logits_soft_cap: float = 0.0,
+    sink: Optional[jax.Array] = None,
+    return_lse: bool = False,
+    backend: str = "auto",
+    variant: Optional[AttentionVariant] = None,
+    variant_params: Any = None,
+):
+    """Prefill/append attention between q and a dense KV (reference
+    flashinfer/prefill.py:911-1203).
+
+    q: [qo_len, num_qo_heads, head_dim]; k/v per kv_layout (NHD:
+    [kv_len, num_kv_heads, head_dim], HND: [num_kv_heads, kv_len, head_dim]).
+    """
+    layout = check_kv_layout(kv_layout)
+    if layout == TensorLayout.HND:
+        k = jnp.swapaxes(k, 0, 1)
+        v = jnp.swapaxes(v, 0, 1)
+
+    mode = _canon_pos_mode(pos_encoding_mode)
+    num_qo_heads = q.shape[1]
+    alibi = None
+    if mode == PosEncodingMode.ALIBI:
+        alibi = default_alibi_slopes(num_qo_heads)
+    elif mode == PosEncodingMode.ROPE_LLAMA:
+        raise NotImplementedError(
+            "fused-RoPE prefill: apply flashinfer_tpu.ops.rope first; kernel "
+            "fusion lands with the rope module"
+        )
+
+    if variant is None:
+        variant = make_default_variant(
+            logits_soft_cap=logits_soft_cap,
+            use_alibi=False,
+            has_sink=False,
+        )
+        if alibi is not None:
+            variant_params = {"alibi_slopes": alibi}
+            variant = make_default_variant(
+                logits_soft_cap=logits_soft_cap, use_alibi=True
+            )
+
+    bk = _resolve_backend(backend)
+    if bk == "reference":
+        out, lse = attention_reference(
+            q, k, v,
+            causal=causal,
+            sm_scale=sm_scale,
+            window_left=window_left,
+            custom_mask=custom_mask,
+            sink=sink,
+            variant=variant,
+            variant_params=variant_params,
+        )
+    elif bk == "pallas":
+        out, lse = flash_attention_dense(
+            q, k, v,
+            causal=causal,
+            sm_scale=sm_scale,
+            window_left=window_left,
+            custom_mask=custom_mask,
+            sink=sink,
+            variant=variant,
+            variant_params=variant_params,
+        )
+    else:
+        raise ValueError(f"unknown backend {backend!r}")
+    return (out, lse) if return_lse else out
+
+
+def single_decode_with_kv_cache(
+    q: jax.Array,
+    k: jax.Array,
+    v: jax.Array,
+    *,
+    kv_layout: str = "NHD",
+    pos_encoding_mode: Union[str, PosEncodingMode] = "NONE",
+    sm_scale: Optional[float] = None,
+    window_left: int = -1,
+    logits_soft_cap: float = 0.0,
+    return_lse: bool = False,
+    backend: str = "auto",
+    variant: Optional[AttentionVariant] = None,
+    variant_params: Any = None,
+):
+    """Single-request decode: q is one token [num_qo_heads, head_dim]
+    (reference flashinfer/decode.py:350-580). Decode is causal by
+    construction (the single query is the last token)."""
+    out = single_prefill_with_kv_cache(
+        q[None],
+        k,
+        v,
+        causal=False,  # single token at seq end sees the whole kv
+        kv_layout=kv_layout,
+        pos_encoding_mode=pos_encoding_mode,
+        sm_scale=sm_scale,
+        window_left=window_left,
+        logits_soft_cap=logits_soft_cap,
+        return_lse=return_lse,
+        backend=backend,
+        variant=variant,
+        variant_params=variant_params,
+    )
+    if return_lse:
+        o, lse = out
+        return o[0], lse[0]
+    return out[0]

@@ -1,0 +1,232 @@
+"""Rotary position embedding ops.
+
+Reference parity: flashinfer/rope.py:321-1154 — `apply_rope`,
+`apply_rope_pos_ids`, `apply_llama31_rope`, `apply_llama31_rope_pos_ids`,
+`apply_rope_with_cos_sin_cache`, and the inplace variants (functional here:
+JAX returns new arrays; XLA turns them into in-place updates under donation).
+Kernels: include/flashinfer/pos_enc.cuh (BatchQKApplyRotaryKernel et al.).
+
+TPU-first: RoPE is bandwidth-bound elementwise math over [nnz, heads, dim];
+the jnp formulation fuses into adjacent ops under jit (e.g. the QKV
+projection), which beats a standalone kernel. The rotary frequency tables
+are computed inline and constant-folded by XLA.
+
+Conventions (matching the reference):
+  * interleave=False (default): rotate-half pairs (x[i], x[i + d/2])
+    (GPT-NeoX style). interleave=True: adjacent pairs (x[2i], x[2i+1])
+    (GPT-J style).
+  * rope_scale divides positions (linear scaling); rope_theta is the base.
+  * Llama-3.1 variant rescales per-frequency wavelengths with
+    low/high-freq factors (reference rope.py:likely apply_llama31_rope
+    defaults: factor=8, low=1, high=4, old_context_len=8192).
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+__all__ = [
+    "apply_rope",
+    "apply_rope_pos_ids",
+    "apply_llama31_rope",
+    "apply_llama31_rope_pos_ids",
+    "apply_rope_with_cos_sin_cache",
+    "rope_cos_sin_cache",
+]
+
+
+def _rope_inv_freq(rotary_dim: int, rope_theta: float) -> jax.Array:
+    return 1.0 / (
+        rope_theta
+        ** (jnp.arange(0, rotary_dim, 2, dtype=jnp.float32) / rotary_dim)
+    )
+
+
+def _llama31_rescale(
+    inv_freq: jax.Array,
+    factor: float,
+    low_freq_factor: float,
+    high_freq_factor: float,
+    old_context_len: int,
+) -> jax.Array:
+    """Llama-3.1 frequency-dependent scaling (reference rope.py llama31
+    variants; matches the huggingface rope_scaling 'llama3' rule)."""
+    low_freq_wavelen = old_context_len / low_freq_factor
+    high_freq_wavelen = old_context_len / high_freq_factor
+    wavelen = 2.0 * jnp.pi / inv_freq
+    # high-frequency (short wavelength): unchanged; low-frequency: /factor;
+    # in between: smooth interpolation.
+    smooth = (old_context_len / wavelen - low_freq_factor) / (
+        high_freq_factor - low_freq_factor
+    )
+    interp = (1.0 - smooth) * inv_freq / factor + smooth * inv_freq
+    out = jnp.where(wavelen > low_freq_wavelen, inv_freq / factor, inv_freq)
+    mid = (wavelen <= low_freq_wavelen) & (wavelen >= high_freq_wavelen)
+    return jnp.where(mid, interp, out)
+
+
+def _apply(
+    x: jax.Array,  # [nnz, heads, head_dim]
+    cos: jax.Array,  # [nnz, rotary_dim/2]
+    sin: jax.Array,
+    rotary_dim: int,
+    interleave: bool,
+) -> jax.Array:
+    orig_dtype = x.dtype
+    xr = x[..., :rotary_dim].astype(jnp.float32)
+    rest = x[..., rotary_dim:]
+    cos = cos[:, None, :]  # broadcast over heads
+    sin = sin[:, None, :]
+    if interleave:
+        x1 = xr[..., 0::2]
+        x2 = xr[..., 1::2]
+        r1 = x1 * cos - x2 * sin
+        r2 = x2 * cos + x1 * sin
+        rot = jnp.stack([r1, r2], axis=-1).reshape(xr.shape)
+    else:
+        half = rotary_dim // 2
+        x1 = xr[..., :half]
+        x2 = xr[..., half:]
+        r1 = x1 * cos - x2 * sin
+        r2 = x2 * cos + x1 * sin
+        rot = jnp.concatenate([r1, r2], axis=-1)
+    return jnp.concatenate([rot.astype(orig_dtype), rest], axis=-1)
+
+
+def _cos_sin_from_pos(
+    pos_ids: jax.Array, inv_freq: jax.Array, rope_scale: float
+) -> Tuple[jax.Array, jax.Array]:
+    angles = (pos_ids.astype(jnp.float32) / rope_scale)[:, None] * inv_freq[None, :]
+    return jnp.cos(angles), jnp.sin(angles)
+
+
+def apply_rope_pos_ids(
+    q: jax.Array,
+    k: jax.Array,
+    pos_ids: jax.Array,
+    *,
+    rotary_dim: Optional[int] = None,
+    interleave: bool = False,
+    rope_scale: float = 1.0,
+    rope_theta: float = 1e4,
+) -> Tuple[jax.Array, jax.Array]:
+    """RoPE with explicit positions (reference rope.py apply_rope_pos_ids).
+
+    q: [nnz, num_qo_heads, head_dim], k: [nnz, num_kv_heads, head_dim],
+    pos_ids: [nnz] int32.
+    """
+    rotary_dim = rotary_dim or q.shape[-1]
+    inv_freq = _rope_inv_freq(rotary_dim, rope_theta)
+    cos, sin = _cos_sin_from_pos(pos_ids, inv_freq, rope_scale)
+    return (
+        _apply(q, cos, sin, rotary_dim, interleave),
+        _apply(k, cos, sin, rotary_dim, interleave),
+    )
+
+
+def apply_rope(
+    q: jax.Array,
+    k: jax.Array,
+    indptr: jax.Array,
+    offsets: jax.Array,
+    *,
+    rotary_dim: Optional[int] = None,
+    interleave: bool = False,
+    rope_scale: float = 1.0,
+    rope_theta: float = 1e4,
+) -> Tuple[jax.Array, jax.Array]:
+    """Ragged-batch RoPE (reference rope.py apply_rope): token i of request b
+    (rows indptr[b]:indptr[b+1]) gets position offsets[b] + (i - indptr[b])."""
+    nnz = q.shape[0]
+    token = jnp.arange(nnz, dtype=jnp.int32)
+    b = jnp.searchsorted(indptr, token, side="right").astype(jnp.int32) - 1
+    pos_ids = offsets[b] + token - indptr[b]
+    return apply_rope_pos_ids(
+        q, k, pos_ids,
+        rotary_dim=rotary_dim, interleave=interleave,
+        rope_scale=rope_scale, rope_theta=rope_theta,
+    )
+
+
+def apply_llama31_rope_pos_ids(
+    q: jax.Array,
+    k: jax.Array,
+    pos_ids: jax.Array,
+    *,
+    rotary_dim: Optional[int] = None,
+    interleave: bool = False,
+    rope_scale: float = 8.0,
+    rope_theta: float = 5e5,
+    low_freq_factor: float = 1.0,
+    high_freq_factor: float = 4.0,
+    old_context_len: int = 8192,
+) -> Tuple[jax.Array, jax.Array]:
+    """Llama-3.1-scaled RoPE (reference rope.py apply_llama31_rope_pos_ids)."""
+    rotary_dim = rotary_dim or q.shape[-1]
+    inv_freq = _rope_inv_freq(rotary_dim, rope_theta)
+    inv_freq = _llama31_rescale(
+        inv_freq, rope_scale, low_freq_factor, high_freq_factor, old_context_len
+    )
+    cos, sin = _cos_sin_from_pos(pos_ids, inv_freq, 1.0)
+    return (
+        _apply(q, cos, sin, rotary_dim, interleave),
+        _apply(k, cos, sin, rotary_dim, interleave),
+    )
+
+
+def apply_llama31_rope(
+    q: jax.Array,
+    k: jax.Array,
+    indptr: jax.Array,
+    offsets: jax.Array,
+    **kwargs,
+) -> Tuple[jax.Array, jax.Array]:
+    nnz = q.shape[0]
+    token = jnp.arange(nnz, dtype=jnp.int32)
+    b = jnp.searchsorted(indptr, token, side="right").astype(jnp.int32) - 1
+    pos_ids = offsets[b] + token - indptr[b]
+    return apply_llama31_rope_pos_ids(q, k, pos_ids, **kwargs)
+
+
+def rope_cos_sin_cache(
+    max_position: int,
+    rotary_dim: int,
+    *,
+    rope_theta: float = 1e4,
+    rope_scale: float = 1.0,
+    dtype=jnp.float32,
+) -> jax.Array:
+    """Precomputed [max_position, rotary_dim] cache, first half cos, second
+    half sin — the layout apply_rope_with_cos_sin_cache expects (matches the
+    reference's vLLM-compatible cos_sin_cache)."""
+    inv_freq = _rope_inv_freq(rotary_dim, rope_theta)
+    pos = jnp.arange(max_position, dtype=jnp.float32) / rope_scale
+    angles = pos[:, None] * inv_freq[None, :]
+    return jnp.concatenate([jnp.cos(angles), jnp.sin(angles)], axis=-1).astype(dtype)
+
+
+def apply_rope_with_cos_sin_cache(
+    positions: jax.Array,
+    query: jax.Array,
+    key: jax.Array,
+    head_size: int,
+    cos_sin_cache: jax.Array,
+    is_neox: bool = True,
+) -> Tuple[jax.Array, jax.Array]:
+    """vLLM-layout RoPE (reference rope.py apply_rope_with_cos_sin_cache):
+    query/key are [nnz, num_heads*head_size] flattened; cos_sin_cache
+    [max_pos, rotary_dim] with cos||sin halves. is_neox=True → rotate-half.
+    """
+    nnz = query.shape[0]
+    rotary_dim = cos_sin_cache.shape[-1]
+    half = rotary_dim // 2
+    cs = cos_sin_cache[positions].astype(jnp.float32)
+    cos, sin = cs[:, :half], cs[:, half:]
+    q = query.reshape(nnz, -1, head_size)
+    k = key.reshape(nnz, -1, head_size)
+    q = _apply(q, cos, sin, rotary_dim, interleave=not is_neox)
+    k = _apply(k, cos, sin, rotary_dim, interleave=not is_neox)
+    return q.reshape(query.shape), k.reshape(key.shape)

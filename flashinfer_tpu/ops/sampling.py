@@ -1,0 +1,402 @@
+"""Sorting-free sampling ops.
+
+Reference parity: flashinfer/sampling.py:518-1477 — `softmax`,
+`sampling_from_probs/logits`, `top_p/top_k/min_p/top_k_top_p` samplers,
+`top_p_renorm_probs`, `top_k_renorm_probs`, `top_k_mask_logits`,
+`chain_speculative_sampling`. Kernels: include/flashinfer/sampling.cuh
+(dual-pivot rejection, OnlineSoftmaxFusedKernel:315, TopK/TopP samplers
+:835-1135).
+
+TPU re-design. The reference avoids sorting with a *data-dependent
+dual-pivot rejection loop* per row — efficient on GPU where each block owns
+a row, but data-dependent loop trip counts defeat XLA. Here every sampler is
+sorting-free via a **fixed-trip-count pivot bisection** over the value
+domain (probabilities are in [0,1]; ~30 f32 bisection steps reach exact
+float resolution), which XLA compiles to a tight vectorized loop over the
+whole batch — same algorithmic idea (find the truncation threshold without
+sorting), deterministic by construction, CUDA-graph stability replaced by
+static shapes under jit.
+
+RNG: functions take a JAX PRNG ``key`` instead of a torch generator. The
+reference's ``deterministic`` flag selects a fixed reduction order; JAX/XLA
+reductions are deterministic already, so the flag is accepted and ignored.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+__all__ = [
+    "softmax",
+    "sampling_from_probs",
+    "sampling_from_logits",
+    "top_p_sampling_from_probs",
+    "top_k_sampling_from_probs",
+    "min_p_sampling_from_probs",
+    "top_k_top_p_sampling_from_probs",
+    "top_k_top_p_sampling_from_logits",
+    "top_p_renorm_probs",
+    "top_k_renorm_probs",
+    "top_k_mask_logits",
+    "chain_speculative_sampling",
+]
+
+_BISECT_ITERS = 32
+
+
+def _as_row_param(x, batch, dtype=jnp.float32):
+    """Scalar or [batch] -> [batch, 1] array."""
+    arr = jnp.asarray(x, dtype)
+    if arr.ndim == 0:
+        arr = jnp.broadcast_to(arr, (batch,))
+    return arr[:, None]
+
+
+def softmax(
+    logits: jax.Array,
+    temperature: float | jax.Array = 1.0,
+    *,
+    enable_pdl: Optional[bool] = None,
+) -> jax.Array:
+    """Temperature-fused softmax (reference sampling.py softmax /
+    OnlineSoftmaxFusedKernel sampling.cuh:315). temperature may be scalar or
+    per-row [batch]. temperature == 0 rows produce a one-hot argmax."""
+    batch = logits.shape[0]
+    t = _as_row_param(temperature, batch)
+    x = logits.astype(jnp.float32)
+    safe_t = jnp.where(t > 0, t, 1.0)
+    y = jax.nn.softmax(x / safe_t, axis=-1)
+    greedy = (x == jnp.max(x, axis=-1, keepdims=True)).astype(jnp.float32)
+    greedy = greedy / jnp.sum(greedy, axis=-1, keepdims=True)
+    return jnp.where(t > 0, y, greedy)
+
+
+def _inverse_cdf_sample(probs: jax.Array, u: jax.Array) -> jax.Array:
+    """Sample one index per row by inverse CDF: the first index where
+    cumsum(probs) exceeds u * total (total guards unnormalized rows)."""
+    cdf = jnp.cumsum(probs, axis=-1)
+    total = cdf[:, -1:]
+    target = u[:, None] * total
+    hit = cdf > target
+    # first True; all-False (u==1 edge) -> last index with prob > 0
+    idx = jnp.argmax(hit, axis=-1)
+    any_hit = jnp.any(hit, axis=-1)
+    last_nz = probs.shape[-1] - 1 - jnp.argmax(
+        (probs[:, ::-1] > 0), axis=-1
+    )
+    return jnp.where(any_hit, idx, last_nz).astype(jnp.int32)
+
+
+def sampling_from_probs(
+    probs: jax.Array,
+    key: jax.Array,
+    *,
+    indices: Optional[jax.Array] = None,
+    deterministic: bool = True,
+) -> jax.Array:
+    """Categorical sampling from (possibly unnormalized) probabilities
+    (reference sampling.py sampling_from_probs). ``indices`` enables
+    shared-probs batches: row i samples from probs[indices[i]]."""
+    if indices is not None:
+        probs = probs[indices]
+    batch = probs.shape[0]
+    u = jax.random.uniform(key, (batch,), jnp.float32)
+    return _inverse_cdf_sample(probs.astype(jnp.float32), u)
+
+
+def sampling_from_logits(
+    logits: jax.Array,
+    key: jax.Array,
+    *,
+    indices: Optional[jax.Array] = None,
+    temperature: float | jax.Array = 1.0,
+    deterministic: bool = True,
+) -> jax.Array:
+    """Fused softmax+sample via the Gumbel trick — one pass, no
+    normalization (reference SamplingFromLogitsKernel sampling.cuh:747)."""
+    if indices is not None:
+        logits = logits[indices]
+    batch = logits.shape[0]
+    t = _as_row_param(temperature, batch)
+    x = logits.astype(jnp.float32)
+    safe_t = jnp.where(t > 0, t, 1.0)
+    g = jax.random.gumbel(key, x.shape, jnp.float32)
+    scored = x / safe_t + jnp.where(t > 0, g, 0.0)
+    return jnp.argmax(scored, axis=-1).astype(jnp.int32)
+
+
+def _top_p_threshold(probs: jax.Array, top_p: jax.Array) -> jax.Array:
+    """Largest pivot t (per row) with sum(p_i for p_i > t) >= top_p, found by
+    fixed-iteration bisection (sorting-free; the reference reaches the same
+    set with dual-pivot rejection, sampling.cuh:950)."""
+    # rows with top_p >= 1 keep everything (pivot -1)
+    lo = jnp.zeros_like(top_p)
+    hi = jnp.max(probs, axis=-1, keepdims=True)
+
+    def body(_, carry):
+        lo, hi = carry
+        mid = (lo + hi) * 0.5
+        mass = jnp.sum(jnp.where(probs > mid, probs, 0.0), axis=-1, keepdims=True)
+        ok = mass >= top_p  # pivot can rise
+        lo = jnp.where(ok, mid, lo)
+        hi = jnp.where(ok, hi, mid)
+        return lo, hi
+
+    lo, hi = jax.lax.fori_loop(0, _BISECT_ITERS, body, (lo, hi))
+    return jnp.where(top_p >= 1.0, -1.0, lo)
+
+
+def _top_k_threshold(probs: jax.Array, top_k: jax.Array) -> jax.Array:
+    """Pivot t with count(p_i > t) <= k, maximal coverage — bisection on the
+    value domain (reference TopKSamplingFromProbKernel sampling.cuh:835)."""
+    vocab = probs.shape[-1]
+    lo = jnp.zeros_like(probs[:, :1])
+    hi = jnp.max(probs, axis=-1, keepdims=True)
+
+    def body(_, carry):
+        lo, hi = carry
+        mid = (lo + hi) * 0.5
+        cnt = jnp.sum((probs > mid).astype(jnp.int32), axis=-1, keepdims=True)
+        ok = cnt >= top_k  # still enough entries above pivot -> raise lo
+        lo = jnp.where(ok, mid, lo)
+        hi = jnp.where(ok, hi, mid)
+        return lo, hi
+
+    lo, hi = jax.lax.fori_loop(0, _BISECT_ITERS, body, (lo, hi))
+    return jnp.where(top_k >= vocab, -1.0, lo)
+
+
+def top_p_sampling_from_probs(
+    probs: jax.Array,
+    key: jax.Array,
+    top_p: float | jax.Array,
+    *,
+    indices: Optional[jax.Array] = None,
+    deterministic: bool = True,
+) -> jax.Array:
+    """Nucleus sampling (reference sampling.py:697)."""
+    if indices is not None:
+        probs = probs[indices]
+    probs = probs.astype(jnp.float32)
+    batch = probs.shape[0]
+    p = _as_row_param(top_p, batch)
+    t = _top_p_threshold(probs, p)
+    masked = jnp.where(probs > t, probs, 0.0)
+    u = jax.random.uniform(key, (batch,), jnp.float32)
+    return _inverse_cdf_sample(masked, u)
+
+
+def top_k_sampling_from_probs(
+    probs: jax.Array,
+    key: jax.Array,
+    top_k: int | jax.Array,
+    *,
+    indices: Optional[jax.Array] = None,
+    deterministic: bool = True,
+) -> jax.Array:
+    """Top-k sampling (reference sampling.py top_k_sampling_from_probs)."""
+    if indices is not None:
+        probs = probs[indices]
+    probs = probs.astype(jnp.float32)
+    batch = probs.shape[0]
+    k = _as_row_param(top_k, batch, jnp.int32)
+    t = _top_k_threshold(probs, k)
+    masked = jnp.where(probs > t, probs, 0.0)
+    u = jax.random.uniform(key, (batch,), jnp.float32)
+    return _inverse_cdf_sample(masked, u)
+
+
+def min_p_sampling_from_probs(
+    probs: jax.Array,
+    key: jax.Array,
+    min_p: float | jax.Array,
+    *,
+    indices: Optional[jax.Array] = None,
+    deterministic: bool = True,
+) -> jax.Array:
+    """Min-p sampling: keep tokens with p >= min_p * max_p (reference
+    sampling.py min_p_sampling_from_probs / MinPSamplingFromProbKernel
+    sampling.cuh:1057)."""
+    if indices is not None:
+        probs = probs[indices]
+    probs = probs.astype(jnp.float32)
+    batch = probs.shape[0]
+    mp = _as_row_param(min_p, batch)
+    t = mp * jnp.max(probs, axis=-1, keepdims=True)
+    masked = jnp.where(probs >= t, probs, 0.0)
+    u = jax.random.uniform(key, (batch,), jnp.float32)
+    return _inverse_cdf_sample(masked, u)
+
+
+def top_k_top_p_sampling_from_probs(
+    probs: jax.Array,
+    key: jax.Array,
+    top_k: int | jax.Array,
+    top_p: float | jax.Array,
+    *,
+    indices: Optional[jax.Array] = None,
+    filter_apply_order: str = "top_k_first",
+    deterministic: bool = True,
+) -> jax.Array:
+    """Joint top-k + top-p (reference sampling.py:
+    top_k_top_p_sampling_from_probs; fused kernel sampling.cuh:1135)."""
+    if indices is not None:
+        probs = probs[indices]
+    probs = probs.astype(jnp.float32)
+    batch = probs.shape[0]
+    k = _as_row_param(top_k, batch, jnp.int32)
+    p = _as_row_param(top_p, batch)
+    if filter_apply_order == "top_k_first":
+        tk = _top_k_threshold(probs, k)
+        probs1 = jnp.where(probs > tk, probs, 0.0)
+        probs1 = probs1 / jnp.sum(probs1, axis=-1, keepdims=True)
+        tp = _top_p_threshold(probs1, p)
+        masked = jnp.where(probs1 > tp, probs1, 0.0)
+    elif filter_apply_order == "joint":
+        tk = _top_k_threshold(probs, k)
+        tp = _top_p_threshold(probs, p)
+        t = jnp.maximum(tk, tp)
+        masked = jnp.where(probs > t, probs, 0.0)
+    else:
+        raise ValueError(f"unknown filter_apply_order {filter_apply_order!r}")
+    u = jax.random.uniform(key, (batch,), jnp.float32)
+    return _inverse_cdf_sample(masked, u)
+
+
+def top_k_top_p_sampling_from_logits(
+    logits: jax.Array,
+    key: jax.Array,
+    top_k: int | jax.Array,
+    top_p: float | jax.Array,
+    *,
+    indices: Optional[jax.Array] = None,
+    filter_apply_order: str = "top_k_first",
+    deterministic: bool = True,
+) -> jax.Array:
+    """(reference sampling.py top_k_top_p_sampling_from_logits)."""
+    probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
+    return top_k_top_p_sampling_from_probs(
+        probs, key, top_k, top_p,
+        indices=indices, filter_apply_order=filter_apply_order,
+        deterministic=deterministic,
+    )
+
+
+def top_p_renorm_probs(probs: jax.Array, top_p: float | jax.Array) -> jax.Array:
+    """Zero out everything outside the top-p set and renormalize
+    (reference sampling.py top_p_renorm_probs / renorm.cu)."""
+    probs = probs.astype(jnp.float32)
+    p = _as_row_param(top_p, probs.shape[0])
+    t = _top_p_threshold(probs, p)
+    masked = jnp.where(probs > t, probs, 0.0)
+    return masked / jnp.sum(masked, axis=-1, keepdims=True)
+
+
+def top_k_renorm_probs(probs: jax.Array, top_k: int | jax.Array) -> jax.Array:
+    """(reference sampling.py top_k_renorm_probs)."""
+    probs = probs.astype(jnp.float32)
+    k = _as_row_param(top_k, probs.shape[0], jnp.int32)
+    t = _top_k_threshold(probs, k)
+    masked = jnp.where(probs > t, probs, 0.0)
+    return masked / jnp.sum(masked, axis=-1, keepdims=True)
+
+
+def top_k_mask_logits(logits: jax.Array, top_k: int | jax.Array) -> jax.Array:
+    """Mask logits outside the top-k set to -inf (reference sampling.py
+    top_k_mask_logits). Bisection runs on logits directly (monotone)."""
+    x = logits.astype(jnp.float32)
+    batch, vocab = x.shape
+    k = _as_row_param(top_k, batch, jnp.int32)
+    lo = jnp.min(x, axis=-1, keepdims=True)
+    hi = jnp.max(x, axis=-1, keepdims=True)
+
+    def body(_, carry):
+        lo, hi = carry
+        mid = (lo + hi) * 0.5
+        cnt = jnp.sum((x > mid).astype(jnp.int32), axis=-1, keepdims=True)
+        ok = cnt >= k
+        lo = jnp.where(ok, mid, lo)
+        hi = jnp.where(ok, hi, mid)
+        return lo, hi
+
+    lo, hi = jax.lax.fori_loop(0, _BISECT_ITERS, body, (lo, hi))
+    t = jnp.where(k >= vocab, lo - 1.0, lo)
+    return jnp.where(x > t, logits, -jnp.inf)
+
+
+def chain_speculative_sampling(
+    draft_probs: jax.Array,
+    draft_token_ids: jax.Array,
+    target_probs: jax.Array,
+    key: jax.Array,
+    *,
+    deterministic: bool = True,
+) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    """Chained speculative-decoding verification (reference sampling.py
+    chain_speculative_sampling; kernel sampling.cuh ChainSpeculative...).
+
+    Args:
+      draft_probs: [batch, num_spec, vocab] draft-model distributions.
+      draft_token_ids: [batch, num_spec] proposed tokens.
+      target_probs: [batch, num_spec + 1, vocab] target-model distributions
+        (the +1 row samples the bonus token after full acceptance).
+
+    Returns:
+      output_token_ids: [batch, num_spec + 1], -1 after the first rejection.
+      output_accepted_token_num: [batch] accepted draft-token count.
+      output_emitted_draft_token_num: [batch] emitted draft tokens (==
+      accepted count; name kept for reference parity).
+    """
+    batch, num_spec, vocab = draft_probs.shape
+    draft_probs = draft_probs.astype(jnp.float32)
+    target_probs = target_probs.astype(jnp.float32)
+
+    keys = jax.random.split(key, num_spec + 1)
+    u = jax.random.uniform(keys[0], (batch, num_spec), jnp.float32)
+
+    tok = draft_token_ids  # [batch, num_spec]
+    bidx = jnp.arange(batch)[:, None]
+    sidx = jnp.arange(num_spec)[None, :]
+    p_target = target_probs[bidx, sidx, tok]
+    p_draft = draft_probs[bidx, sidx, tok]
+    accept = u < jnp.minimum(1.0, p_target / jnp.maximum(p_draft, 1e-20))
+
+    # position of first rejection (num_spec if none)
+    rejected = ~accept
+    first_rej = jnp.where(
+        jnp.any(rejected, axis=1), jnp.argmax(rejected, axis=1), num_spec
+    )  # [batch]
+
+    # residual distribution at the rejection position
+    pos = jnp.minimum(first_rej, num_spec - 1)
+    resid = jnp.maximum(
+        target_probs[jnp.arange(batch), pos] - draft_probs[jnp.arange(batch), pos],
+        0.0,
+    )
+    resid_sum = jnp.sum(resid, axis=-1, keepdims=True)
+    # fall back to the target distribution when residual is empty
+    resid = jnp.where(resid_sum > 0, resid, target_probs[jnp.arange(batch), pos])
+    u_res = jax.random.uniform(keys[1], (batch,), jnp.float32)
+    resample_tok = _inverse_cdf_sample(resid, u_res)
+
+    # bonus token from the last target row (emitted only on full acceptance)
+    u_bonus = jax.random.uniform(keys[2], (batch,), jnp.float32)
+    bonus_tok = _inverse_cdf_sample(target_probs[:, num_spec], u_bonus)
+
+    steps = jnp.arange(num_spec + 1)[None, :]  # output positions
+    fr = first_rej[:, None]
+    out = jnp.where(
+        steps < fr,
+        jnp.pad(tok, ((0, 0), (0, 1))),  # accepted draft tokens
+        jnp.where(
+            steps == fr,
+            jnp.where(fr < num_spec, resample_tok[:, None], bonus_tok[:, None]),
+            -1,
+        ),
+    ).astype(jnp.int32)
+    accepted = first_rej.astype(jnp.int32)
+    return out, accepted, accepted

@@ -1,0 +1,302 @@
+"""Host-side attention work planner — the plan stage of the plan/run split.
+
+Reference parity: include/flashinfer/attention/scheduler.cuh —
+``PrefillSplitQOKVIndptr`` (:496), ``PrefillPlan`` (:694), ``DecodePlan``
+(:426). The reference plans on the host in C++ to balance (request × qo_tile
+× kv_chunk) work over GPU SMs and emits CUDA-graph-stable padded index
+arrays.
+
+TPU re-design (not a port):
+  * A Pallas grid executes *sequentially* per TensorCore with software
+    pipelining (and in parallel over v5p Megacore's two cores), so the goal
+    is not SM occupancy. The plan instead (1) produces **static-shape padded
+    work descriptors** so one compiled kernel serves every batch mix —
+    the XLA analogue of CUDA-graph stability, (2) bounds each work item's
+    KV footprint so double-buffered page DMAs fit VMEM, and (3) splits long
+    KV ranges so partial results merge deterministically (split-KV).
+  * The planner is pure NumPy (vectorized, no Python loop over tokens); a
+    C++ version is only warranted if profiling shows plan latency on the
+    serving control path — the reference keeps it in C++ for the same
+    reason we keep NumPy: it is off the device hot path.
+
+Work item = (request, qo_tile, kv_chunk). Padded arrays of a bucketed
+capacity are uploaded once per plan (one small H2D, mirroring
+scheduler.cuh:790's single pinned-memory copy).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Tuple
+
+import numpy as np
+
+from flashinfer_tpu.utils import cdiv, next_power_of_2, round_up
+
+__all__ = ["AttentionPlan", "plan_attention", "plan_prefill", "plan_decode"]
+
+_MIN_WORK_CAPACITY = 8
+
+
+@dataclasses.dataclass(frozen=True)
+class AttentionPlan:
+    """Static-shape work descriptors consumed by the Pallas attention kernels.
+
+    Scalars are Python ints (static under jit); arrays are NumPy int32 and are
+    passed as scalar-prefetch operands. Invalid (padding) work items have
+    ``request_indices == -1``.
+    """
+
+    # --- static configuration (part of the jit cache key) ---
+    tile_q: int  # query rows per work item (packed layout)
+    kv_chunk_size: int  # max kv tokens per work item (page-aligned)
+    num_work_items: int  # padded capacity T
+    total_rows: int  # padded packed qo rows (output rows)
+    batch_size: int
+    page_size: int
+
+    # --- per-work-item arrays, shape [T] ---
+    request_indices: np.ndarray
+    qo_tile_indices: np.ndarray
+    kv_tile_indices: np.ndarray
+    qo_start_row: np.ndarray  # first packed output row of this tile
+    qo_tile_len: np.ndarray  # valid rows in this tile (<= tile_q)
+    kv_start: np.ndarray  # kv token range [start, end) within request
+    kv_end: np.ndarray
+    kv_page_start: np.ndarray  # offset into kv_indices of first page of chunk
+    num_kv_splits: np.ndarray  # how many chunks the (req, qo_tile) group has
+    # causal position math for GQA-packed rows: the absolute token position
+    # of packed row p (within the request) is q_pos_base + p // gqa_group.
+    q_pos_base: np.ndarray
+    gqa_group: int
+
+    # --- merge bookkeeping ---
+    # For partial row (w * tile_q + j): destination output row, or -1.
+    merge_out_row: np.ndarray  # [T * tile_q]
+
+    # --- convenience ---
+    num_valid_items: int
+
+    def prefetch_arrays(self) -> Tuple[np.ndarray, ...]:
+        """Arrays handed to the kernel as scalar prefetch, fixed order."""
+        return (
+            self.request_indices,
+            self.qo_tile_indices,
+            self.kv_tile_indices,
+            self.qo_start_row,
+            self.qo_tile_len,
+            self.kv_start,
+            self.kv_end,
+            self.kv_page_start,
+            self.num_kv_splits,
+            self.q_pos_base,
+        )
+
+
+def _bucket(n: int, minimum: int = _MIN_WORK_CAPACITY) -> int:
+    """Pad to a power-of-2 bucket to bound jit recompiles across batch mixes."""
+    return max(minimum, next_power_of_2(n))
+
+
+def plan_attention(
+    qo_indptr: np.ndarray,
+    kv_lens: np.ndarray,
+    *,
+    qo_token_lens: Optional[np.ndarray] = None,
+    gqa_group: int = 1,
+    kv_indptr: Optional[np.ndarray] = None,
+    page_size: int = 1,
+    tile_q: int = 128,
+    kv_chunk_size: Optional[int] = None,
+    max_kv_chunk_size: int = 4096,
+    min_kv_chunk_size: int = 256,
+    target_num_items: Optional[int] = None,
+    work_capacity: Optional[int] = None,
+    causal: bool = False,
+) -> AttentionPlan:
+    """Plan a variable-length attention batch.
+
+    Args:
+      qo_indptr: [batch+1] packed query-ROW offsets. With GQA packing
+        (the reference's packed_qo_len = qo_len * group trick,
+        scheduler.cuh:506-511), a row is a (token, group-head) pair and the
+        wrapper passes row offsets already padded to tile_q alignment.
+      kv_lens: [batch] valid kv tokens per request.
+      qo_token_lens: [batch] true token counts (defaults to row_count //
+        gqa_group); needed because padded rows must not shift causal
+        positions.
+      gqa_group: rows per token (query heads per kv head).
+      kv_indptr: [batch+1] page-table offsets (paged caches); identity
+        assumed if None (ragged layout: kv_page_start = token offset).
+      kv_chunk_size: fixed chunk size; if None it is derived: the smallest
+        power-of-2 in [min,max] such that total work items >= target
+        (the TPU analogue of scheduler.cuh:573's binary search that fills
+        2×SM grid — here the target keeps the DMA pipeline busy and bounds
+        VMEM).
+    """
+    qo_indptr = np.asarray(qo_indptr, np.int64)
+    kv_lens = np.asarray(kv_lens, np.int64)
+    batch_size = len(kv_lens)
+    assert qo_indptr.shape == (batch_size + 1,)
+    qo_lens = qo_indptr[1:] - qo_indptr[:-1]
+    if qo_token_lens is None:
+        qo_token_lens = qo_lens // gqa_group
+    qo_token_lens = np.asarray(qo_token_lens, np.int64)
+    num_qo_tiles = np.maximum(cdiv_np(qo_lens, tile_q), (qo_lens > 0).astype(np.int64))
+
+    if kv_chunk_size is None:
+        if target_num_items is None:
+            # Keep at least ~8 items in flight for pipelining; more splits
+            # only add merge traffic.
+            target_num_items = max(8, int(num_qo_tiles.sum()))
+        kv_chunk_size = max_kv_chunk_size
+        while (
+            kv_chunk_size // 2 >= min_kv_chunk_size
+            and int(
+                (num_qo_tiles * cdiv_np(np.maximum(kv_lens, 1), kv_chunk_size)).sum()
+            )
+            < target_num_items
+        ):
+            kv_chunk_size //= 2
+    kv_chunk_size = round_up(max(kv_chunk_size, page_size), page_size)
+
+    # Per (request, qo_tile): number of kv chunks. With causal masking later
+    # qo tiles see more kv, but we conservatively chunk the full kv range and
+    # let the kernel skip fully-masked chunks (cheap: the skip is a prefetch
+    # of nothing since qo_tile kv upper bound is in the descriptor).
+    num_kv_chunks = cdiv_np(np.maximum(kv_lens, 1), kv_chunk_size)
+
+    # Expand (request, qo_tile, kv_chunk) triples, vectorized.
+    items_per_req = num_qo_tiles * num_kv_chunks
+    total_items = int(items_per_req.sum())
+    req_of_item = np.repeat(np.arange(batch_size), items_per_req)
+    item_ofs = np.arange(total_items) - np.repeat(
+        np.concatenate([[0], np.cumsum(items_per_req)[:-1]]), items_per_req
+    )
+    nkc = num_kv_chunks[req_of_item]
+    qo_tile_idx = item_ofs // nkc
+    kv_tile_idx = item_ofs % nkc
+
+    kv_start = kv_tile_idx * kv_chunk_size
+    kv_end = np.minimum(kv_start + kv_chunk_size, kv_lens[req_of_item])
+
+    # Causal pruning. Token position of packed row p (within request) is
+    # q_pos_base + p // gqa_group, q_pos_base = kv_len - qo_token_len. Tile t
+    # covers rows [t*tile_q, t*tile_q + tile_q); its last token index is
+    # (t*tile_q + tile_q - 1) // gqa_group, so kv above q_pos_base +
+    # last_token is invisible — drop those chunks entirely.
+    q_pos_base = kv_lens[req_of_item] - qo_token_lens[req_of_item]
+    if causal:
+        last_token = (qo_tile_idx * tile_q + tile_q - 1) // gqa_group
+        kv_upper = q_pos_base + last_token + 1  # exclusive
+        keep = kv_start < np.minimum(kv_upper, kv_lens[req_of_item])
+    else:
+        keep = np.ones(total_items, dtype=bool)
+    keep &= kv_end > kv_start
+
+    req_of_item = req_of_item[keep]
+    qo_tile_idx = qo_tile_idx[keep]
+    kv_tile_idx = kv_tile_idx[keep]
+    kv_start = kv_start[keep]
+    kv_end = kv_end[keep]
+    q_pos_base = q_pos_base[keep]
+    num_valid = len(req_of_item)
+
+    # splits per (request, qo_tile) group after pruning
+    group_key = req_of_item * (num_qo_tiles.max() + 1) + qo_tile_idx
+    _, first_idx, counts = np.unique(group_key, return_index=True, return_counts=True)
+    splits = np.empty(num_valid, np.int64)
+    for f, c in zip(first_idx, counts):
+        splits[f : f + c] = c  # groups are contiguous (row-major expansion)
+
+    qo_start_row = qo_indptr[req_of_item] + qo_tile_idx * tile_q
+    qo_tile_len = np.minimum(tile_q, qo_lens[req_of_item] - qo_tile_idx * tile_q)
+
+    if kv_indptr is not None:
+        kv_indptr = np.asarray(kv_indptr, np.int64)
+        kv_page_start = kv_indptr[req_of_item] + kv_start // page_size
+    else:
+        kv_page_start = kv_start // page_size
+
+    capacity = work_capacity or _bucket(num_valid)
+    if num_valid > capacity:
+        raise ValueError(
+            f"plan needs {num_valid} work items > capacity {capacity}; raise "
+            "work_capacity"
+        )
+
+    def pad(a, fill):
+        out = np.full(capacity, fill, np.int32)
+        out[:num_valid] = a
+        return out
+
+    total_rows = int(qo_indptr[-1])
+
+    # merge map: partial row (w * tile_q + j) -> output row
+    merge_out_row = np.full(capacity * tile_q, -1, np.int32)
+    w = np.arange(num_valid)
+    rows = (qo_start_row[:, None] + np.arange(tile_q)[None, :]).astype(np.int64)
+    valid_rows = np.arange(tile_q)[None, :] < qo_tile_len[:, None]
+    flat = (w[:, None] * tile_q + np.arange(tile_q)[None, :])[valid_rows]
+    merge_out_row[flat] = rows[valid_rows]
+
+    return AttentionPlan(
+        tile_q=tile_q,
+        kv_chunk_size=int(kv_chunk_size),
+        num_work_items=capacity,
+        total_rows=total_rows,
+        batch_size=batch_size,
+        page_size=page_size,
+        request_indices=pad(req_of_item, -1),
+        qo_tile_indices=pad(qo_tile_idx, 0),
+        kv_tile_indices=pad(kv_tile_idx, 0),
+        qo_start_row=pad(qo_start_row, 0),
+        qo_tile_len=pad(qo_tile_len, 0),
+        kv_start=pad(kv_start, 0),
+        kv_end=pad(kv_end, 0),
+        kv_page_start=pad(kv_page_start, 0),
+        num_kv_splits=pad(splits, 1),
+        q_pos_base=pad(q_pos_base, 0),
+        gqa_group=gqa_group,
+        merge_out_row=merge_out_row,
+        num_valid_items=num_valid,
+    )
+
+
+def plan_prefill(*args, **kwargs) -> AttentionPlan:
+    """Alias with prefill defaults (reference PrefillPlan, scheduler.cuh:694)."""
+    kwargs.setdefault("tile_q", 128)
+    return plan_attention(*args, **kwargs)
+
+
+def plan_decode(
+    kv_lens: np.ndarray,
+    *,
+    kv_indptr: Optional[np.ndarray] = None,
+    page_size: int = 1,
+    gqa_group: int = 1,
+    tile_q: Optional[int] = None,
+    **kwargs,
+) -> AttentionPlan:
+    """Decode plan: one query token per request (reference DecodePlan,
+    scheduler.cuh:426). The GQA group rides the packed-row dimension (the
+    reference's tensor-core decode trick, decode.py:1030): each request
+    contributes `gqa_group` rows, padded to one tile."""
+    batch = len(kv_lens)
+    if tile_q is None:
+        tile_q = max(8, next_power_of_2(gqa_group))
+    qo_indptr = np.arange(batch + 1) * tile_q  # one padded tile per request
+    return plan_attention(
+        qo_indptr,
+        kv_lens,
+        qo_token_lens=np.ones(batch, np.int64),
+        gqa_group=gqa_group,
+        kv_indptr=kv_indptr,
+        page_size=page_size,
+        tile_q=tile_q,
+        **kwargs,
+    )
+
+
+def cdiv_np(a, b):
+    return -(-a // b)

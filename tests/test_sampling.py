@@ -1,0 +1,200 @@
+"""Sampling op tests (reference: tests/utils/test_sampling.py style —
+statistical checks against the math, plus set-membership checks for the
+truncation samplers)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from flashinfer_tpu.ops.sampling import (
+    chain_speculative_sampling,
+    min_p_sampling_from_probs,
+    sampling_from_logits,
+    sampling_from_probs,
+    softmax,
+    top_k_mask_logits,
+    top_k_renorm_probs,
+    top_k_sampling_from_probs,
+    top_k_top_p_sampling_from_probs,
+    top_p_renorm_probs,
+    top_p_sampling_from_probs,
+)
+
+
+def _probs(rng, batch, vocab, concentrated=False):
+    logits = rng.standard_normal((batch, vocab)) * (4.0 if concentrated else 1.0)
+    p = np.exp(logits - logits.max(-1, keepdims=True))
+    return (p / p.sum(-1, keepdims=True)).astype(np.float32)
+
+
+def test_softmax_temperature():
+    rng = np.random.default_rng(0)
+    logits = rng.standard_normal((3, 50)).astype(np.float32)
+    out = softmax(jnp.asarray(logits), temperature=2.0)
+    want = np.exp(logits / 2.0 - (logits / 2.0).max(-1, keepdims=True))
+    want /= want.sum(-1, keepdims=True)
+    np.testing.assert_allclose(np.asarray(out), want, rtol=1e-5, atol=1e-6)
+    # t = 0 -> one-hot argmax
+    out0 = softmax(jnp.asarray(logits), temperature=jnp.asarray([0.0, 1.0, 0.0]))
+    assert np.argmax(np.asarray(out0)[0]) == np.argmax(logits[0])
+    np.testing.assert_allclose(np.asarray(out0)[0].max(), 1.0)
+
+
+def test_sampling_from_probs_distribution():
+    rng = np.random.default_rng(1)
+    p = _probs(rng, 1, 16)
+    p_rep = jnp.asarray(np.repeat(p, 4096, axis=0))
+    toks = sampling_from_probs(p_rep, jax.random.key(0))
+    freq = np.bincount(np.asarray(toks), minlength=16) / 4096
+    np.testing.assert_allclose(freq, p[0], atol=0.03)
+
+
+def test_sampling_from_logits_matches_softmax_dist():
+    rng = np.random.default_rng(2)
+    logits = rng.standard_normal((1, 12)).astype(np.float32)
+    lr = jnp.asarray(np.repeat(logits, 4096, axis=0))
+    toks = sampling_from_logits(lr, jax.random.key(1))
+    p = np.exp(logits[0] - logits[0].max())
+    p /= p.sum()
+    freq = np.bincount(np.asarray(toks), minlength=12) / 4096
+    np.testing.assert_allclose(freq, p, atol=0.03)
+
+
+def _topp_set(p_row, top_p):
+    order = np.argsort(-p_row)
+    cum = np.cumsum(p_row[order])
+    keep_n = int(np.searchsorted(cum, top_p) + 1)
+    return set(order[:keep_n].tolist())
+
+
+def test_top_p_sampling_stays_in_nucleus():
+    rng = np.random.default_rng(3)
+    p = _probs(rng, 8, 64, concentrated=True)
+    toks = np.asarray(
+        top_p_sampling_from_probs(
+            jnp.asarray(np.tile(p, (64, 1))), jax.random.key(2), 0.7
+        )
+    )
+    for i, tok in enumerate(toks):
+        allowed = _topp_set(p[i % 8], 0.7)
+        assert tok in allowed, (i, tok, allowed)
+
+
+def test_top_k_sampling_stays_in_topk():
+    rng = np.random.default_rng(4)
+    p = _probs(rng, 8, 64)
+    toks = np.asarray(
+        top_k_sampling_from_probs(
+            jnp.asarray(np.tile(p, (64, 1))), jax.random.key(3), 5
+        )
+    )
+    for i, tok in enumerate(toks):
+        top5 = set(np.argsort(-p[i % 8])[:5].tolist())
+        assert tok in top5
+
+
+def test_min_p_sampling_threshold():
+    rng = np.random.default_rng(5)
+    p = _probs(rng, 4, 32, concentrated=True)
+    toks = np.asarray(
+        min_p_sampling_from_probs(
+            jnp.asarray(np.tile(p, (64, 1))), jax.random.key(4), 0.3
+        )
+    )
+    for i, tok in enumerate(toks):
+        row = p[i % 4]
+        assert row[tok] >= 0.3 * row.max() - 1e-6
+
+
+def test_top_k_top_p_joint():
+    rng = np.random.default_rng(6)
+    p = _probs(rng, 4, 64, concentrated=True)
+    toks = np.asarray(
+        top_k_top_p_sampling_from_probs(
+            jnp.asarray(np.tile(p, (64, 1))), jax.random.key(5), 8, 0.9,
+            filter_apply_order="joint",
+        )
+    )
+    for i, tok in enumerate(toks):
+        row = p[i % 4]
+        top8 = set(np.argsort(-row)[:8].tolist())
+        assert tok in top8 and tok in _topp_set(row, 0.9)
+
+
+def test_top_p_renorm():
+    rng = np.random.default_rng(7)
+    p = _probs(rng, 4, 64, concentrated=True)
+    out = np.asarray(top_p_renorm_probs(jnp.asarray(p), 0.8))
+    for i in range(4):
+        keep = _topp_set(p[i], 0.8)
+        nz = set(np.nonzero(out[i])[0].tolist())
+        assert nz == keep
+        np.testing.assert_allclose(out[i].sum(), 1.0, rtol=1e-5)
+        # kept entries proportional to original
+        ks = sorted(keep)
+        ratio = out[i][ks] / p[i][ks]
+        np.testing.assert_allclose(ratio, ratio[0], rtol=1e-4)
+
+
+def test_top_k_renorm_and_mask():
+    rng = np.random.default_rng(8)
+    p = _probs(rng, 4, 64)
+    out = np.asarray(top_k_renorm_probs(jnp.asarray(p), 10))
+    for i in range(4):
+        top10 = set(np.argsort(-p[i])[:10].tolist())
+        assert set(np.nonzero(out[i])[0].tolist()) == top10
+        np.testing.assert_allclose(out[i].sum(), 1.0, rtol=1e-5)
+    logits = rng.standard_normal((4, 64)).astype(np.float32)
+    masked = np.asarray(top_k_mask_logits(jnp.asarray(logits), 7))
+    for i in range(4):
+        top7 = set(np.argsort(-logits[i])[:7].tolist())
+        assert set(np.nonzero(np.isfinite(masked[i]))[0].tolist()) == top7
+        np.testing.assert_array_equal(masked[i][sorted(top7)], logits[i][sorted(top7)])
+
+
+def test_sampling_with_indices():
+    rng = np.random.default_rng(9)
+    p = _probs(rng, 2, 16, concentrated=True)
+    # rows 0..3 all sample from p[0] (one-hot-ish), rows 4..7 from p[1]
+    p0 = np.zeros((2, 16), np.float32)
+    p0[0, 3] = 1.0
+    p0[1, 9] = 1.0
+    idx = jnp.asarray([0, 0, 0, 0, 1, 1, 1, 1])
+    toks = np.asarray(
+        sampling_from_probs(jnp.asarray(p0), jax.random.key(6), indices=idx)
+    )
+    np.testing.assert_array_equal(toks, [3, 3, 3, 3, 9, 9, 9, 9])
+
+
+def test_chain_speculative_sampling_accept_all():
+    """Draft == target -> everything accepted, bonus token emitted."""
+    vocab = 8
+    draft = np.full((1, 3, vocab), 1.0 / vocab, np.float32)
+    target = np.full((1, 4, vocab), 1.0 / vocab, np.float32)
+    ids = np.asarray([[2, 5, 1]], np.int32)
+    out, acc, emit = chain_speculative_sampling(
+        jnp.asarray(draft), jnp.asarray(ids), jnp.asarray(target), jax.random.key(7)
+    )
+    out = np.asarray(out)
+    assert np.asarray(acc)[0] == 3
+    np.testing.assert_array_equal(out[0, :3], ids[0])
+    assert 0 <= out[0, 3] < vocab
+
+
+def test_chain_speculative_sampling_reject_first():
+    """Target puts zero mass on the draft token -> rejected at step 0 and
+    resampled from the residual."""
+    vocab = 4
+    draft = np.zeros((1, 2, vocab), np.float32)
+    draft[:, :, 0] = 1.0  # draft always proposes token 0
+    target = np.zeros((1, 3, vocab), np.float32)
+    target[:, :, 3] = 1.0  # target wants token 3
+    ids = np.asarray([[0, 0]], np.int32)
+    out, acc, _ = chain_speculative_sampling(
+        jnp.asarray(draft), jnp.asarray(ids), jnp.asarray(target), jax.random.key(8)
+    )
+    out = np.asarray(out)
+    assert np.asarray(acc)[0] == 0
+    assert out[0, 0] == 3  # resampled from residual = target
+    np.testing.assert_array_equal(out[0, 1:], [-1, -1])
