@@ -65,7 +65,7 @@ def _bucket(n: int, minimum: int = 1) -> int:
 
 
 @dataclasses.dataclass
-class _PlanState:
+class PlanState:
     plan: AttentionPlan
     plan_arrays: Tuple[jax.Array, ...]
     kv_indices: jax.Array  # padded+clamped page table (or token base dummy)
@@ -108,7 +108,7 @@ class BatchAttention:
         self._tile_k = tile_k
         self._variant = variant
         self._variant_params = None
-        self._state: Optional[_PlanState] = None
+        self._state: Optional[PlanState] = None
         self._ragged = False
 
     # -- plan ---------------------------------------------------------------
@@ -232,7 +232,7 @@ class BatchAttention:
         self._variant_resolved = variant
         self._variant_params = variant_params
 
-        self._state = _PlanState(
+        self._state = PlanState(
             plan=plan,
             plan_arrays=tuple(jnp.asarray(a) for a in plan.prefetch_arrays()),
             kv_indices=kv_idx_dev,

@@ -14,18 +14,22 @@ TPU-first design decisions:
     so decode tiles still feed the MXU [tile_q, d] x [d, tile_k].
   * Page gather: TPU has no pointer-chasing loads, so pages are gathered by
     explicit double-buffered DMA — while sub-tile j computes, the DMAs for
-    the *next grid step* (possibly a different work item/head) are already in
+    the *next grid step* (possibly a different work item) are already in
     flight; descriptors live in SMEM via scalar prefetch so next-step
     addresses are computable ahead of time. This is the software analogue of
     the reference's cp.async pipeline, expressed at page granularity.
+  * Each page is fetched ONCE for all KV heads (one contiguous
+    [kvh, page_size, d] DMA in HND layout) and the head dimension is an
+    unrolled loop inside the kernel — KV HBM traffic is read exactly once,
+    which is what the >=85%-of-roofline target requires.
   * Split-KV: every work item writes a (v, s) partial state; a segment
     softmax-merge (state.py) combines chunks. Padding items emit s = -inf
     (the merge identity).
 
 Cache layout: HND [num_pages, num_kv_heads, page_size, head_dim] makes a
-page's (page_size × head_dim) block contiguous per head — one efficient DMA.
-NHD [num_pages, page_size, num_kv_heads, head_dim] is supported via strided
-DMA (slower; HND recommended on TPU).
+page fully contiguous — one efficient DMA. NHD [num_pages, page_size,
+num_kv_heads, head_dim] is also one DMA per page (different buffer layout);
+per-head slices inside VMEM are strided, so HND remains the fast path.
 """
 
 from __future__ import annotations
@@ -65,48 +69,26 @@ _NUM_PLAN_ARRAYS = 10
 _KV_INDICES = _NUM_PLAN_ARRAYS  # + kv_indices as the 11th prefetch operand
 
 
-def _variant_plumbing_grouped(variant_params, num_kv_heads, group):
-    """Like flash.py's plumbing, but per-head leaves are blocked per KV head:
-    the kernel sees that head's [group, ...] slice and hooks index it with
-    head_idx = packed_row % group."""
+def _variant_plumbing(variant_params):
+    """Flatten variant params into full-array VMEM inputs (whole-leaf blocks;
+    hooks do per-head indexing themselves with head_idx)."""
     if variant_params is None:
         return [], [], lambda loaded: None
-    num_qo_heads = num_kv_heads * group
     leaves, treedef = jax.tree_util.tree_flatten(variant_params)
     arrays, specs, metas = [], [], []
     for leaf in leaves:
         leaf = jnp.asarray(leaf)
-        if leaf.ndim >= 1 and leaf.shape[0] == num_qo_heads:
-            rest = leaf.shape[1:]
-            flat = leaf.reshape(num_kv_heads, -1)  # [kvh, group * prod(rest)]
-            specs.append(
-                pl.BlockSpec(
-                    (1, flat.shape[1]),
-                    lambda w, h, j, *s: (h, 0),
-                    memory_space=pltpu.VMEM,
-                )
+        flat = leaf.reshape(1, -1) if leaf.ndim < 2 else leaf
+        specs.append(
+            pl.BlockSpec(
+                flat.shape, lambda w, j: (0,) * flat.ndim, memory_space=pltpu.VMEM
             )
-            metas.append(("head", rest))
-            arrays.append(flat)
-        else:
-            flat = leaf.reshape(1, -1) if leaf.ndim < 2 else leaf
-            specs.append(
-                pl.BlockSpec(
-                    flat.shape,
-                    lambda w, h, j, *s: (0,) * flat.ndim,
-                    memory_space=pltpu.VMEM,
-                )
-            )
-            metas.append(("full", leaf.shape))
-            arrays.append(flat)
+        )
+        metas.append(leaf.shape)
+        arrays.append(flat)
 
     def rebuild(loaded):
-        out = []
-        for val, (kind, shape) in zip(loaded, metas):
-            if kind == "head":
-                out.append(val.reshape((group,) + tuple(shape)))
-            else:
-                out.append(val.reshape(shape))
+        out = [val.reshape(shape) for val, shape in zip(loaded, metas)]
         return jax.tree_util.tree_unflatten(treedef, out)
 
     return arrays, specs, rebuild
@@ -145,11 +127,10 @@ def _paged_kernel(
     k_buf, v_buf, sem_k, sem_v, acc_ref, m_ref, l_ref = refs[idx : idx + 7]
 
     w = pl.program_id(0)
-    h = pl.program_id(1)
-    j = pl.program_id(2)
+    j = pl.program_id(1)
     ppst = tile_k // page_size  # pages per sub-tile
-    flat = (w * num_kv_heads + h) * nsub + j
-    total_steps = num_items * num_kv_heads * nsub
+    flat = w * nsub + j
+    total_steps = num_items * nsub
 
     def descriptors(wi, ji):
         kv_s = plan_refs[_KV_START][wi]
@@ -159,21 +140,21 @@ def _paged_kernel(
         remaining = kv_e - kv_s - sub_start
         return page0, sub_start, remaining
 
-    def start_dmas(wi, hi, ji, slot):
+    def start_dmas(wi, ji, slot):
         page0, sub_start, remaining = descriptors(wi, ji)
         if ragged:
-            # contiguous KV: one strided DMA of tile_k rows from the global
-            # token offset (page0 carries kv_indptr[r] + kv_start here)
+            # contiguous KV: one DMA of tile_k rows from the global token
+            # offset (page0 carries kv_indptr[r] + kv_start here)
             @pl.when(remaining > 0)
             def _():
                 row0 = page0 + sub_start
                 pltpu.make_async_copy(
-                    k_hbm.at[pl.ds(row0, tile_k), hi, :],
-                    k_buf.at[slot], sem_k.at[slot, 0],
+                    k_hbm.at[pl.ds(row0, tile_k)], k_buf.at[slot],
+                    sem_k.at[slot, 0],
                 ).start()
                 pltpu.make_async_copy(
-                    v_hbm.at[pl.ds(row0, tile_k), hi, :],
-                    v_buf.at[slot], sem_v.at[slot, 0],
+                    v_hbm.at[pl.ds(row0, tile_k)], v_buf.at[slot],
+                    sem_v.at[slot, 0],
                 ).start()
             return
         for p in range(ppst):
@@ -181,20 +162,17 @@ def _paged_kernel(
             def _():
                 page_id = kv_indices_ref[page0 + sub_start // page_size + p]
                 if layout == TensorLayout.HND:
-                    k_src = k_hbm.at[page_id, hi]
-                    v_src = v_hbm.at[page_id, hi]
-                else:  # NHD: strided per-head slice
-                    k_src = k_hbm.at[page_id, :, hi, :]
-                    v_src = v_hbm.at[page_id, :, hi, :]
+                    # whole page, all heads: [kvh, page_size, d] contiguous
+                    k_dst = k_buf.at[slot, :, pl.ds(p * page_size, page_size), :]
+                    v_dst = v_buf.at[slot, :, pl.ds(p * page_size, page_size), :]
+                else:  # NHD: page is [page_size, kvh, d]
+                    k_dst = k_buf.at[slot, pl.ds(p * page_size, page_size), :, :]
+                    v_dst = v_buf.at[slot, pl.ds(p * page_size, page_size), :, :]
                 pltpu.make_async_copy(
-                    k_src,
-                    k_buf.at[slot, pl.ds(p * page_size, page_size), :],
-                    sem_k.at[slot, p],
+                    k_hbm.at[page_id], k_dst, sem_k.at[slot, p]
                 ).start()
                 pltpu.make_async_copy(
-                    v_src,
-                    v_buf.at[slot, pl.ds(p * page_size, page_size), :],
-                    sem_v.at[slot, p],
+                    v_hbm.at[page_id], v_dst, sem_v.at[slot, p]
                 ).start()
 
     def wait_dmas(wi, ji, slot):
@@ -212,31 +190,24 @@ def _paged_kernel(
         for p in range(ppst):
             @pl.when(p * page_size < remaining)
             def _():
-                # dst shapes must match the started copy for wait accounting
-                pltpu.make_async_copy(
-                    k_buf.at[slot, pl.ds(p * page_size, page_size), :],
-                    k_buf.at[slot, pl.ds(p * page_size, page_size), :],
-                    sem_k.at[slot, p],
-                ).wait()
-                pltpu.make_async_copy(
-                    v_buf.at[slot, pl.ds(p * page_size, page_size), :],
-                    v_buf.at[slot, pl.ds(p * page_size, page_size), :],
-                    sem_v.at[slot, p],
-                ).wait()
+                if layout == TensorLayout.HND:
+                    k_dst = k_buf.at[slot, :, pl.ds(p * page_size, page_size), :]
+                    v_dst = v_buf.at[slot, :, pl.ds(p * page_size, page_size), :]
+                else:
+                    k_dst = k_buf.at[slot, pl.ds(p * page_size, page_size), :, :]
+                    v_dst = v_buf.at[slot, pl.ds(p * page_size, page_size), :, :]
+                pltpu.make_async_copy(k_dst, k_dst, sem_k.at[slot, p]).wait()
+                pltpu.make_async_copy(v_dst, v_dst, sem_v.at[slot, p]).wait()
 
     # --- pipeline: warm up on the very first step, then prefetch next ---
     @pl.when(flat == 0)
     def _warmup():
-        start_dmas(w, h, j, 0)
+        start_dmas(w, j, 0)
 
     @pl.when(flat + 1 < total_steps)
     def _prefetch_next():
         nf = flat + 1
-        wn = nf // (num_kv_heads * nsub)
-        rem = nf % (num_kv_heads * nsub)
-        hn = rem // nsub
-        jn = rem % nsub
-        start_dmas(wn, hn, jn, nf % 2)
+        start_dmas(nf // nsub, nf % nsub, nf % 2)
 
     @pl.when(j == 0)
     def _init():
@@ -252,72 +223,83 @@ def _paged_kernel(
 
     @pl.when(jnp.logical_and(valid_item, remaining > 0))
     def _compute():
-        q = q_ref[0]  # [tile_q, d]
-        k = k_buf[slot]  # [tile_k, d]
-        v = v_buf[slot]
         params = rebuild_params([r[:] for r in variant_refs])
 
-        qf = q
-        if variant.query_transform is not None:
-            qf = variant.query_transform(params, qf.astype(jnp.float32))
-        s = jax.lax.dot_general(
-            qf, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-        )
-        s = s * sm_scale
-
-        # positions
+        # shared position/mask tiles (head-independent parts)
         qo_local0 = plan_refs[_QO_TILE][w] * tile_q
         row = jax.lax.broadcasted_iota(jnp.int32, (tile_q, tile_k), 0)
         col = jax.lax.broadcasted_iota(jnp.int32, (tile_q, tile_k), 1)
         q_tok = plan_refs[_Q_POS_BASE][w] + (qo_local0 + row) // group
         kv_pos = plan_refs[_KV_START][w] + sub_start + col
-        head_idx = row % group if group > 1 else jnp.zeros_like(row)
-
-        if variant.logits_transform is not None:
-            s = variant.logits_transform(params, s, q_tok, kv_pos, head_idx)
-
-        mask = col < remaining  # inside this sub-tile's valid kv
+        base_mask = col < remaining
         if causal:
-            mask = jnp.logical_and(mask, kv_pos <= q_tok)
+            base_mask = jnp.logical_and(base_mask, kv_pos <= q_tok)
         if window_left >= 0:
-            mask = jnp.logical_and(mask, kv_pos > q_tok - window_left - 1)
-        if variant.logits_mask is not None:
-            mask = jnp.logical_and(
-                mask, variant.logits_mask(params, q_tok, kv_pos, head_idx)
+            base_mask = jnp.logical_and(
+                base_mask, kv_pos > q_tok - window_left - 1
             )
-
-        s = jnp.where(mask, s, _NEG_INF)
-        m_prev = m_ref[:]
-        m_cur = jnp.max(s, axis=1, keepdims=True)
-        m_new = jnp.maximum(m_prev, m_cur)
-        m_safe = jnp.where(jnp.isneginf(m_new), 0.0, m_new)
-        p = jnp.exp(s - m_safe[:, :1])
-        p = jnp.where(mask, p, 0.0)
-        alpha = jnp.where(jnp.isneginf(m_prev), 0.0, jnp.exp(m_prev - m_safe))
-        l_ref[:] = l_ref[:] * alpha + jnp.sum(p, axis=1, keepdims=True)
-        m_ref[:] = m_new
-        # rows of v beyond the valid kv range hold whatever the DMA left
-        # behind (NaN in interpret mode); 0 * NaN = NaN, so zero them.
         col_valid = (
             jax.lax.broadcasted_iota(jnp.int32, (tile_k, 1), 0) < remaining
         )
-        v_safe = jnp.where(col_valid, v, 0)
-        pv = jax.lax.dot_general(
-            p.astype(v.dtype), v_safe, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
-        acc_ref[:] = acc_ref[:] * alpha[:, :1] + pv
+
+        for h in range(num_kv_heads):  # static unroll over kv heads
+            q = q_ref[h]  # [tile_q, d]
+            if ragged or layout == TensorLayout.NHD:
+                k = k_buf[slot, :, h, :]  # [tile_k, d]
+                v = v_buf[slot, :, h, :]
+            else:
+                k = k_buf[slot, h]
+                v = v_buf[slot, h]
+
+            qf = q
+            if variant.query_transform is not None:
+                qf = variant.query_transform(params, qf.astype(jnp.float32))
+            s = jax.lax.dot_general(
+                qf, k, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            s = s * sm_scale
+
+            mask = base_mask
+            if variant.logits_transform is not None or variant.logits_mask is not None:
+                head_idx = h * group + (row % group if group > 1
+                                        else jnp.zeros_like(row))
+                if variant.logits_transform is not None:
+                    s = variant.logits_transform(params, s, q_tok, kv_pos, head_idx)
+                if variant.logits_mask is not None:
+                    mask = jnp.logical_and(
+                        mask, variant.logits_mask(params, q_tok, kv_pos, head_idx)
+                    )
+
+            s = jnp.where(mask, s, _NEG_INF)
+            m_prev = m_ref[h]  # [tile_q, LANES]
+            m_cur = jnp.max(s, axis=1, keepdims=True)
+            m_new = jnp.maximum(m_prev, m_cur)
+            m_safe = jnp.where(jnp.isneginf(m_new), 0.0, m_new)
+            p = jnp.exp(s - m_safe[:, :1])
+            p = jnp.where(mask, p, 0.0)
+            alpha = jnp.where(jnp.isneginf(m_prev), 0.0, jnp.exp(m_prev - m_safe))
+            l_ref[h] = l_ref[h] * alpha + jnp.sum(p, axis=1, keepdims=True)
+            m_ref[h] = m_new
+            # rows of v beyond the valid kv range hold whatever the DMA left
+            # behind (NaN in interpret mode); 0 * NaN = NaN, so zero them.
+            v_safe = jnp.where(col_valid, v, 0)
+            pv = jax.lax.dot_general(
+                p.astype(v.dtype), v_safe, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            acc_ref[h] = acc_ref[h] * alpha[:, :1] + pv
 
     @pl.when(j == nsub - 1)
     def _finalize():
-        m = m_ref[:, :1]
-        l = l_ref[:, :1]
+        m = m_ref[:, :, :1]  # [kvh, tile_q, 1]
+        l = l_ref[:, :, :1]
         safe_l = jnp.where(l > 0, l, 1.0)
         out = acc_ref[:] / safe_l
         m_safe = jnp.where(jnp.isneginf(m), 0.0, m)
         lse = jnp.where(l > 0, m_safe + jnp.log(safe_l), _NEG_INF)
-        out_ref[0, 0] = out.astype(out_ref.dtype)
-        lse_ref[0, 0] = jnp.broadcast_to(lse, lse_ref.shape[2:])
+        out_ref[0] = out.astype(out_ref.dtype)
+        lse_ref[0] = jnp.broadcast_to(lse, lse_ref.shape[1:])
 
 
 def batch_paged_attention_run(
@@ -387,17 +369,16 @@ def batch_paged_attention_run(
     )
     nsub = plan_meta.kv_chunk_size // tile_k
 
-    v_arrays, v_specs, rebuild = _variant_plumbing_grouped(
-        variant_params, num_kv_heads, group
-    )
+    v_arrays, v_specs, rebuild = _variant_plumbing(variant_params)
 
-    grid = (T, num_kv_heads, nsub)
+    grid = (T, nsub)
 
-    def q_index(w, h, j, *s):
-        return (h, s[_QO_START][w] // tile_q, 0)
+    def q_index(w, j, *s):
+        return (0, s[_QO_START][w] // tile_q, 0)
 
     in_specs = [
-        pl.BlockSpec((1, tile_q, d_pad), q_index, memory_space=pltpu.VMEM),
+        pl.BlockSpec((num_kv_heads, tile_q, d_pad), q_index,
+                     memory_space=pltpu.VMEM),
         pl.BlockSpec(memory_space=pltpu.ANY),  # k_cache stays in HBM
         pl.BlockSpec(memory_space=pltpu.ANY),  # v_cache stays in HBM
         *v_specs,
@@ -422,36 +403,41 @@ def batch_paged_attention_run(
         ragged=ragged,
     )
 
+    if ragged or kv_layout == TensorLayout.NHD:
+        k_scratch = pltpu.VMEM((2, tile_k, num_kv_heads, d_pad), k_cache.dtype)
+        v_scratch = pltpu.VMEM((2, tile_k, num_kv_heads, dv_pad), v_cache.dtype)
+    else:
+        k_scratch = pltpu.VMEM((2, num_kv_heads, tile_k, d_pad), k_cache.dtype)
+        v_scratch = pltpu.VMEM((2, num_kv_heads, tile_k, dv_pad), v_cache.dtype)
+
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=_NUM_PLAN_ARRAYS + 1,
         grid=grid,
         in_specs=in_specs,
         out_specs=[
             pl.BlockSpec(
-                (1, 1, tile_q, dv_pad), lambda w, h, j, *s: (w, h, 0, 0),
+                (1, num_kv_heads, tile_q, dv_pad), lambda w, j, *s: (w, 0, 0, 0),
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(
-                (1, 1, tile_q, _LANES), lambda w, h, j, *s: (w, h, 0, 0),
+                (1, num_kv_heads, tile_q, _LANES), lambda w, j, *s: (w, 0, 0, 0),
                 memory_space=pltpu.VMEM,
             ),
         ],
         scratch_shapes=[
-            pltpu.VMEM((2, tile_k, d_pad), k_cache.dtype),
-            pltpu.VMEM((2, tile_k, dv_pad), v_cache.dtype),
-            pltpu.SemaphoreType.DMA((2, tile_k // page_size)),
-            pltpu.SemaphoreType.DMA((2, tile_k // page_size)),
-            pltpu.VMEM((tile_q, dv_pad), jnp.float32),
-            pltpu.VMEM((tile_q, _LANES), jnp.float32),
-            pltpu.VMEM((tile_q, _LANES), jnp.float32),
+            k_scratch,
+            v_scratch,
+            pltpu.SemaphoreType.DMA((2, max(tile_k // page_size, 1))),
+            pltpu.SemaphoreType.DMA((2, max(tile_k // page_size, 1))),
+            pltpu.VMEM((num_kv_heads, tile_q, dv_pad), jnp.float32),
+            pltpu.VMEM((num_kv_heads, tile_q, _LANES), jnp.float32),
+            pltpu.VMEM((num_kv_heads, tile_q, _LANES), jnp.float32),
         ],
     )
 
     kv_bytes = (
-        plan_meta.kv_chunk_size
-        * T
-        * (d_pad + dv_pad)
-        * k_cache.dtype.itemsize
+        plan_meta.kv_chunk_size * T * (d_pad + dv_pad) * k_cache.dtype.itemsize
+        * num_kv_heads
     )
     partial_o, partial_lse = pl.pallas_call(
         kernel,
@@ -461,13 +447,13 @@ def batch_paged_attention_run(
             jax.ShapeDtypeStruct((T, num_kv_heads, tile_q, _LANES), jnp.float32),
         ],
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("arbitrary", "arbitrary", "arbitrary"),
+            dimension_semantics=("arbitrary", "arbitrary"),
         ),
         cost_estimate=pl.CostEstimate(
             flops=4 * T * tile_q * plan_meta.kv_chunk_size * (d_pad + dv_pad) // 2
             * num_kv_heads,
             bytes_accessed=kv_bytes,
-            transcendentals=T * tile_q * plan_meta.kv_chunk_size,
+            transcendentals=T * tile_q * plan_meta.kv_chunk_size * num_kv_heads,
         ),
         interpret=interpret,
     )(*plan_arrays, kv_indices, q_packed, k_cache, v_cache, *v_arrays)

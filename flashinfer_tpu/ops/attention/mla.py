@@ -1,0 +1,464 @@
+"""DeepSeek MLA (matrix-absorbed multi-head latent attention), paged.
+
+Reference parity: flashinfer/mla.py:85 ``BatchMLAPagedAttentionWrapper``
+(plan :221, run :324); kernels include/flashinfer/attention/mla.cuh:777
+(BatchMLAPagedAttentionKernel) and its dedicated load-balancing MLAPlan
+(scheduler.cuh:1438).
+
+Matrix-absorbed MLA is MQA with a 512-dim compressed KV (ckv, doubles as V)
+plus a 64-dim rope part (kpe): score = q_nope·ckv + q_pe·kpe, out = P·ckv.
+
+TPU-first design: this is a *perfect* fit for the GQA-packed paged kernel
+shape — one shared KV stream, all num_heads query heads packed into tile
+rows. The kernel streams each page ONCE (ckv 512 + kpe 64 per token, padded
+to 640 lanes), uses the same buffer as both K and V (V = lanes [0:512]), so
+HBM traffic per token is 576 elements — no separate V read at all. Split-KV
+partials merge through the shared scatter-merge path.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+import math
+from typing import Any, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from flashinfer_tpu.ops.attention.batch import PlanState, _bucket, round_up_np
+from flashinfer_tpu.ops.attention.reference import attention_reference
+from flashinfer_tpu.ops.attention.state import scatter_merge_states
+from flashinfer_tpu.scheduler.plan import AttentionPlan, plan_attention
+from flashinfer_tpu.utils import default_interpret, next_power_of_2, on_tpu
+
+__all__ = ["BatchMLAPagedAttentionWrapper"]
+
+_NEG_INF = float("-inf")
+_LANES = 128
+
+_NUM_PLAN = 10
+(_REQ, _QO_TILE, _KV_TILE, _QO_START, _QO_LEN, _KV_START, _KV_END,
+ _KV_PAGE_START, _NUM_SPLITS, _Q_POS_BASE) = range(_NUM_PLAN)
+
+
+def _mla_kernel(
+    *refs,
+    sm_scale: float,
+    causal: bool,
+    group: int,
+    tile_q: int,
+    tile_k: int,
+    page_size: int,
+    nsub: int,
+    num_items: int,
+    d_ckv: int,
+    d_kpe: int,
+    d_pad: int,
+):
+    idx = 0
+    plan_refs = refs[idx : idx + _NUM_PLAN]; idx += _NUM_PLAN
+    kv_indices_ref = refs[idx]; idx += 1
+    q_ref = refs[idx]; idx += 1
+    ckv_hbm = refs[idx]; idx += 1
+    kpe_hbm = refs[idx]; idx += 1
+    out_ref, lse_ref = refs[idx : idx + 2]; idx += 2
+    k_buf, sem_ckv, sem_kpe, acc_ref, m_ref, l_ref = refs[idx : idx + 6]
+
+    w = pl.program_id(0)
+    j = pl.program_id(1)
+    ppst = tile_k // page_size
+    flat = w * nsub + j
+    total_steps = num_items * nsub
+
+    def descriptors(wi, ji):
+        kv_s = plan_refs[_KV_START][wi]
+        kv_e = plan_refs[_KV_END][wi]
+        page0 = plan_refs[_KV_PAGE_START][wi]
+        return page0, ji * tile_k, kv_e - kv_s - ji * tile_k
+
+    def start_dmas(wi, ji, slot):
+        page0, sub_start, remaining = descriptors(wi, ji)
+        for p in range(ppst):
+            @pl.when(p * page_size < remaining)
+            def _():
+                page_id = kv_indices_ref[page0 + sub_start // page_size + p]
+                pltpu.make_async_copy(
+                    ckv_hbm.at[page_id],
+                    k_buf.at[slot, pl.ds(p * page_size, page_size),
+                             pl.ds(0, d_ckv)],
+                    sem_ckv.at[slot, p],
+                ).start()
+                pltpu.make_async_copy(
+                    kpe_hbm.at[page_id],
+                    k_buf.at[slot, pl.ds(p * page_size, page_size),
+                             pl.ds(d_ckv, d_kpe)],
+                    sem_kpe.at[slot, p],
+                ).start()
+
+    def wait_dmas(wi, ji, slot):
+        page0, sub_start, remaining = descriptors(wi, ji)
+        for p in range(ppst):
+            @pl.when(p * page_size < remaining)
+            def _():
+                d1 = k_buf.at[slot, pl.ds(p * page_size, page_size),
+                              pl.ds(0, d_ckv)]
+                pltpu.make_async_copy(d1, d1, sem_ckv.at[slot, p]).wait()
+                d2 = k_buf.at[slot, pl.ds(p * page_size, page_size),
+                              pl.ds(d_ckv, d_kpe)]
+                pltpu.make_async_copy(d2, d2, sem_kpe.at[slot, p]).wait()
+
+    @pl.when(flat == 0)
+    def _warmup():
+        start_dmas(w, j, 0)
+
+    @pl.when(flat + 1 < total_steps)
+    def _prefetch():
+        nf = flat + 1
+        start_dmas(nf // nsub, nf % nsub, nf % 2)
+
+    @pl.when(j == 0)
+    def _init():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+        m_ref[:] = jnp.full_like(m_ref, _NEG_INF)
+        l_ref[:] = jnp.zeros_like(l_ref)
+
+    slot = flat % 2
+    wait_dmas(w, j, slot)
+
+    page0, sub_start, remaining = descriptors(w, j)
+    valid_item = plan_refs[_REQ][w] >= 0
+
+    @pl.when(jnp.logical_and(valid_item, remaining > 0))
+    def _compute():
+        q = q_ref[0]  # [tile_q, d_pad]; zeros beyond d_ckv + d_kpe
+        k = k_buf[slot]  # [tile_k, d_pad]; lanes [576:] garbage (q is 0 there)
+        col_valid = (
+            jax.lax.broadcasted_iota(jnp.int32, (tile_k, 1), 0) < remaining
+        )
+        # zero invalid rows AND the unwritten pad lanes [d_ckv+d_kpe:d_pad]:
+        # both hold whatever the DMA left behind (NaN in interpret mode) and
+        # 0 * NaN = NaN would poison the dots.
+        keep = col_valid
+        if d_pad != d_ckv + d_kpe:
+            lane = jax.lax.broadcasted_iota(jnp.int32, (tile_k, d_pad), 1)
+            keep = jnp.logical_and(col_valid, lane < d_ckv + d_kpe)
+        k = jnp.where(keep, k, 0)
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        s = s * sm_scale
+
+        qo_local0 = plan_refs[_QO_TILE][w] * tile_q
+        row = jax.lax.broadcasted_iota(jnp.int32, (tile_q, tile_k), 0)
+        col = jax.lax.broadcasted_iota(jnp.int32, (tile_q, tile_k), 1)
+        q_tok = plan_refs[_Q_POS_BASE][w] + (qo_local0 + row) // group
+        kv_pos = plan_refs[_KV_START][w] + sub_start + col
+        mask = col < remaining
+        if causal:
+            mask = jnp.logical_and(mask, kv_pos <= q_tok)
+
+        s = jnp.where(mask, s, _NEG_INF)
+        m_prev = m_ref[:]
+        m_new = jnp.maximum(m_prev, jnp.max(s, axis=1, keepdims=True))
+        m_safe = jnp.where(jnp.isneginf(m_new), 0.0, m_new)
+        p = jnp.where(mask, jnp.exp(s - m_safe[:, :1]), 0.0)
+        alpha = jnp.where(jnp.isneginf(m_prev), 0.0, jnp.exp(m_prev - m_safe))
+        l_ref[:] = l_ref[:] * alpha + jnp.sum(p, axis=1, keepdims=True)
+        m_ref[:] = m_new
+        v = k[:, :d_ckv]  # V IS the compressed KV — zero extra HBM traffic
+        pv = jax.lax.dot_general(
+            p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        acc_ref[:] = acc_ref[:] * alpha[:, :1] + pv
+
+    @pl.when(j == nsub - 1)
+    def _finalize():
+        m = m_ref[:, :1]
+        l = l_ref[:, :1]
+        safe_l = jnp.where(l > 0, l, 1.0)
+        out = acc_ref[:] / safe_l
+        m_safe = jnp.where(jnp.isneginf(m), 0.0, m)
+        lse = jnp.where(l > 0, m_safe + jnp.log(safe_l), _NEG_INF)
+        out_ref[0] = out.astype(out_ref.dtype)
+        lse_ref[0] = jnp.broadcast_to(lse, lse_ref.shape[1:])
+
+
+def _mla_paged_run(
+    q_packed: jax.Array,  # [1, padded_rows, d_pad]
+    ckv_cache: jax.Array,  # [pages, page_size, d_ckv]
+    kpe_cache: jax.Array,  # [pages, page_size, d_kpe]
+    kv_indices: jax.Array,
+    plan_arrays: Tuple[jax.Array, ...],
+    *,
+    plan_meta: AttentionPlan,
+    causal: bool,
+    sm_scale: float,
+    tile_k: int,
+    interpret: Optional[bool],
+) -> Tuple[jax.Array, jax.Array]:
+    if interpret is None:
+        interpret = default_interpret()
+    _, padded_rows, d_pad = q_packed.shape
+    page_size = ckv_cache.shape[1]
+    d_ckv = ckv_cache.shape[2]
+    d_kpe = kpe_cache.shape[2]
+    tile_q = plan_meta.tile_q
+    T = plan_meta.num_work_items
+    tile_k = min(tile_k, plan_meta.kv_chunk_size)
+    tile_k = max(tile_k - tile_k % page_size, page_size)
+    assert plan_meta.kv_chunk_size % tile_k == 0
+    nsub = plan_meta.kv_chunk_size // tile_k
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=_NUM_PLAN + 1,
+        grid=(T, nsub),
+        in_specs=[
+            pl.BlockSpec((1, tile_q, d_pad),
+                         lambda w, j, *s: (0, s[_QO_START][w] // tile_q, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, tile_q, d_ckv), lambda w, j, *s: (w, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tile_q, _LANES), lambda w, j, *s: (w, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((2, tile_k, d_pad), ckv_cache.dtype),
+            pltpu.SemaphoreType.DMA((2, tile_k // page_size)),
+            pltpu.SemaphoreType.DMA((2, tile_k // page_size)),
+            pltpu.VMEM((tile_q, d_ckv), jnp.float32),
+            pltpu.VMEM((tile_q, _LANES), jnp.float32),
+            pltpu.VMEM((tile_q, _LANES), jnp.float32),
+        ],
+    )
+    kernel = functools.partial(
+        _mla_kernel,
+        sm_scale=sm_scale,
+        causal=causal,
+        group=plan_meta.gqa_group,
+        tile_q=tile_q,
+        tile_k=tile_k,
+        page_size=page_size,
+        nsub=nsub,
+        num_items=T,
+        d_ckv=d_ckv,
+        d_kpe=d_kpe,
+        d_pad=d_pad,
+    )
+    partial_o, partial_lse = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((T, tile_q, d_ckv), q_packed.dtype),
+            jax.ShapeDtypeStruct((T, tile_q, _LANES), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * T * tile_q * plan_meta.kv_chunk_size * d_ckv,
+            bytes_accessed=T * plan_meta.kv_chunk_size * (d_ckv + d_kpe) * 2,
+            transcendentals=T * tile_q * plan_meta.kv_chunk_size,
+        ),
+        interpret=interpret,
+    )(*plan_arrays, kv_indices, q_packed, ckv_cache, kpe_cache)
+    return partial_o, partial_lse[..., 0]
+
+
+class BatchMLAPagedAttentionWrapper:
+    """Reference parity: flashinfer/mla.py:85 (plan :221, run :324).
+
+    plan(qo_indptr, kv_indptr, kv_indices, kv_len_arr, num_heads,
+         head_dim_ckv, head_dim_kpe, page_size, causal, sm_scale)
+    run(q_nope [nnz, h, 512], q_pe [nnz, h, 64], ckv_cache
+        [pages, page_size, 512], kpe_cache [pages, page_size, 64])
+    """
+
+    def __init__(self, *, backend: str = "auto", tile_q: Optional[int] = None,
+                 tile_k: int = 512):
+        self._backend = backend
+        self._tile_q = tile_q
+        self._tile_k = tile_k
+        self._state = None
+
+    def plan(
+        self,
+        qo_indptr,
+        kv_indptr,
+        kv_indices,
+        kv_len_arr,
+        num_heads: int,
+        head_dim_ckv: int,
+        head_dim_kpe: int,
+        page_size: int,
+        *,
+        causal: bool = False,
+        sm_scale: Optional[float] = None,
+        kv_chunk_size: Optional[int] = None,
+        **_ignored,
+    ):
+        qo_indptr = np.asarray(qo_indptr, np.int64)
+        kv_indptr = np.asarray(kv_indptr, np.int64)
+        kv_indices_np = np.asarray(kv_indices, np.int64)
+        kv_lens = np.asarray(kv_len_arr, np.int64)
+        batch = len(qo_indptr) - 1
+        if sm_scale is None:
+            sm_scale = 1.0 / math.sqrt(head_dim_ckv + head_dim_kpe)
+        group = num_heads
+
+        qo_lens = qo_indptr[1:] - qo_indptr[:-1]
+        nnz = int(qo_indptr[-1])
+        avg_packed = max(1, int((qo_lens * group).mean())) if batch else 1
+        tile_q = self._tile_q or min(128, max(8, next_power_of_2(avg_packed)))
+        tile_q = min(128, max(tile_q, 8))
+
+        packed_lens = qo_lens * group
+        padded_lens = round_up_np(packed_lens, tile_q)
+        padded_indptr = np.concatenate([[0], np.cumsum(padded_lens)])
+        total_padded = int(padded_indptr[-1])
+        bucket_rows = _bucket(max(total_padded, tile_q))
+
+        plan = plan_attention(
+            padded_indptr,
+            kv_lens,
+            qo_token_lens=qo_lens,
+            gqa_group=group,
+            kv_indptr=kv_indptr,
+            page_size=page_size,
+            tile_q=tile_q,
+            kv_chunk_size=kv_chunk_size,
+            causal=causal,
+        )
+
+        rows = np.arange(bucket_rows)
+        req_of_row = np.clip(
+            np.searchsorted(padded_indptr, rows, side="right") - 1, 0, batch - 1
+        )
+        local = rows - padded_indptr[req_of_row]
+        valid_row = (local < packed_lens[req_of_row]) & (rows < total_padded)
+        token = qo_indptr[req_of_row] + local // group
+        g = local % group
+        row_src = np.where(valid_row, token * group + g, 0).astype(np.int32)
+
+        tg = np.arange(nnz * group)
+        tok = tg // group
+        gg = tg % group
+        req_of_tok = np.clip(
+            np.searchsorted(qo_indptr, tok, side="right") - 1, 0, batch - 1
+        )
+        out_map = (
+            padded_indptr[req_of_tok] + (tok - qo_indptr[req_of_tok]) * group + gg
+        ).astype(np.int32)
+
+        cap = _bucket(max(len(kv_indices_np), 1))
+        padded_idx = np.zeros(cap, np.int32)
+        padded_idx[: len(kv_indices_np)] = kv_indices_np
+        self._state = PlanState(
+            plan=plan,
+            plan_arrays=tuple(jnp.asarray(a) for a in plan.prefetch_arrays()),
+            kv_indices=jnp.asarray(padded_idx),
+            row_src=jnp.asarray(row_src),
+            row_valid=jnp.asarray(valid_row),
+            merge_out_row=jnp.asarray(plan.merge_out_row),
+            out_map=jnp.asarray(out_map),
+            bucket_rows=bucket_rows,
+            nnz=nnz,
+            num_qo_heads=num_heads,
+            num_kv_heads=1,
+            head_dim_qk=head_dim_ckv + head_dim_kpe,
+            head_dim_vo=head_dim_ckv,
+            page_size=page_size,
+            causal=causal,
+            sm_scale=sm_scale,
+            window_left=-1,
+            ragged=False,
+            host=dict(
+                qo_indptr=qo_indptr,
+                kv_indptr=kv_indptr,
+                kv_indices=kv_indices_np,
+                kv_lens=kv_lens,
+            ),
+        )
+        return self
+
+    def run(
+        self,
+        q_nope: jax.Array,
+        q_pe: jax.Array,
+        ckv_cache: jax.Array,
+        kpe_cache: jax.Array,
+        *,
+        return_lse: bool = False,
+        interpret: Optional[bool] = None,
+    ):
+        st = self._state
+        assert st is not None, "call plan() before run()"
+        backend = self._backend
+        if backend == "auto":
+            backend = "pallas" if on_tpu() else "reference"
+        if backend == "reference" and interpret is None:
+            return self._run_reference(
+                q_nope, q_pe, ckv_cache, kpe_cache, return_lse
+            )
+
+        nnz, h, d_ckv = q_nope.shape
+        d_kpe = q_pe.shape[-1]
+        d_pad = -(-(d_ckv + d_kpe) // _LANES) * _LANES
+        q = jnp.concatenate(
+            [q_nope, q_pe,
+             jnp.zeros((nnz, h, d_pad - d_ckv - d_kpe), q_nope.dtype)],
+            axis=-1,
+        )
+        q_r = q.reshape(1, nnz * h, d_pad)  # kvh=1: rows are (token, head)
+        packed = jnp.take(q_r, st.row_src, axis=1)
+        packed = jnp.where(st.row_valid[None, :, None], packed, 0)
+
+        partial_o, partial_lse = _mla_paged_run(
+            packed, ckv_cache, kpe_cache, st.kv_indices, st.plan_arrays,
+            plan_meta=st.plan, causal=st.causal, sm_scale=st.sm_scale,
+            tile_k=self._tile_k, interpret=interpret,
+        )
+        T, tile_q, dv = partial_o.shape
+        pv = partial_o.reshape(T * tile_q, 1, dv)
+        ps = partial_lse.reshape(T * tile_q, 1)
+        merged_v, merged_s = scatter_merge_states(
+            pv, ps, st.merge_out_row, st.bucket_rows
+        )
+        out = jnp.take(merged_v[:, 0], st.out_map, axis=0).reshape(nnz, h, dv)
+        if return_lse:
+            lse = jnp.take(merged_s[:, 0], st.out_map, axis=0).reshape(nnz, h)
+            return out, lse
+        return out
+
+    def _run_reference(self, q_nope, q_pe, ckv_cache, kpe_cache, return_lse):
+        st = self._state
+        h = st.host
+        nnz, heads, d_ckv = q_nope.shape
+        outs, lses = [], []
+        page_size = ckv_cache.shape[1]
+        q = jnp.concatenate([q_nope, q_pe], axis=-1)
+        for r in range(len(h["qo_indptr"]) - 1):
+            q_r = q[h["qo_indptr"][r] : h["qo_indptr"][r + 1]]
+            kv_len = int(h["kv_lens"][r])
+            pages = h["kv_indices"][h["kv_indptr"][r] : h["kv_indptr"][r + 1]]
+            ckv = ckv_cache[pages].reshape(-1, d_ckv)[:kv_len]
+            kpe = kpe_cache[pages].reshape(-1, q_pe.shape[-1])[:kv_len]
+            k_r = jnp.concatenate([ckv, kpe], axis=-1)[:, None, :]
+            v_r = ckv[:, None, :]
+            o, lse = attention_reference(
+                q_r, k_r, v_r, causal=st.causal, sm_scale=st.sm_scale
+            )
+            outs.append(o)
+            lses.append(lse)
+        out = jnp.concatenate(outs, 0)
+        if return_lse:
+            return out, jnp.concatenate(lses, 0)
+        return out

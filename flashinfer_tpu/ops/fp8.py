@@ -1,0 +1,62 @@
+"""FP8 (mx-format) quantization ops.
+
+Reference parity: flashinfer/fp8_quantization.py (239 LoC):
+``mxfp8_quantize``, ``mxfp8_dequantize_host``. MXFP8 = e4m3 values with one
+shared power-of-two (e8m0) scale per 32-element block.
+
+TPU note: v5 MXUs have no native fp8 mode; fp8 here is a *storage* format —
+quantize on write, dequantize into bf16 tiles on the way into the MXU. The
+ops are jnp-level so XLA fuses the dequant into the consuming matmul.
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+__all__ = ["mxfp8_quantize", "mxfp8_dequantize", "fp8_quantize_rowwise"]
+
+_MX_BLOCK = 32
+_E4M3_MAX = 448.0
+
+
+def mxfp8_quantize(
+    x: jax.Array, is_sf_swizzled_layout: bool = False
+) -> Tuple[jax.Array, jax.Array]:
+    """Quantize [..., k] to e4m3 with one e8m0 scale per 32-wide block
+    (reference fp8_quantization.py mxfp8_quantize). The swizzled-layout flag
+    is accepted for parity; TPU keeps scales in plain row-major (swizzle is a
+    tensor-core-memory-bank concept with no TPU analogue).
+
+    Returns (values e4m3 [..., k], scales uint8 e8m0 [..., k/32]).
+    """
+    *lead, k = x.shape
+    assert k % _MX_BLOCK == 0, f"k={k} must be a multiple of {_MX_BLOCK}"
+    xb = x.astype(jnp.float32).reshape(*lead, k // _MX_BLOCK, _MX_BLOCK)
+    amax = jnp.max(jnp.abs(xb), axis=-1, keepdims=True)
+    # e8m0 scale: power of two such that amax / scale <= e4m3 max
+    exp = jnp.ceil(jnp.log2(jnp.maximum(amax, 1e-30) / _E4M3_MAX))
+    exp = jnp.clip(exp, -127, 127)
+    scale = jnp.exp2(exp)
+    q = (xb / scale).astype(jnp.float8_e4m3fn)
+    sf = (exp[..., 0] + 127).astype(jnp.uint8)  # biased e8m0
+    return q.reshape(*lead, k), sf
+
+
+def mxfp8_dequantize(values: jax.Array, scales: jax.Array) -> jax.Array:
+    """Inverse of mxfp8_quantize (reference mxfp8_dequantize_host)."""
+    *lead, k = values.shape
+    vb = values.astype(jnp.float32).reshape(*lead, k // _MX_BLOCK, _MX_BLOCK)
+    scale = jnp.exp2(scales.astype(jnp.float32) - 127.0)[..., None]
+    return (vb * scale).reshape(*lead, k)
+
+
+def fp8_quantize_rowwise(x: jax.Array) -> Tuple[jax.Array, jax.Array]:
+    """Per-row e4m3 quantization (the common KV-cache/fp8-GEMM scaling):
+    returns (values e4m3, scales f32 [rows])."""
+    amax = jnp.max(jnp.abs(x.astype(jnp.float32)), axis=-1, keepdims=True)
+    scale = jnp.maximum(amax, 1e-30) / _E4M3_MAX
+    q = (x.astype(jnp.float32) / scale).astype(jnp.float8_e4m3fn)
+    return q, scale[..., 0]

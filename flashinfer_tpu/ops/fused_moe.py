@@ -1,0 +1,306 @@
+"""Fused Mixture-of-Experts.
+
+Reference parity: flashinfer/fused_moe/core.py — ``cutlass_fused_moe``
+(:758), ``RoutingMethodType`` (:62), ``GatedActType`` (:164), and the
+trtllm-gen quantized variants (``trtllm_fp8_per_tensor_scale_moe`` :1669,
+``trtllm_fp8_block_scale_moe``, ``trtllm_fp4_block_scale_moe`` :1951);
+kernels csrc/fused_moe/cutlass_backend/cutlass_fused_moe_kernels.cuh and the
+routing kernels csrc/trtllm_fused_moe_routing_*.cu.
+
+TPU-first pipeline (single device; EP/TP sharding composes on top via
+parallel/, see parallel/moe.py):
+  routing (top-k over router logits, several methods)
+  → stable argsort tokens by expert (XLA sort — the permute/scatter kernels
+    of the reference collapse into one gather)
+  → grouped GEMM1 via ``lax.ragged_dot`` (+ gated activation)
+  → grouped GEMM2 via ``lax.ragged_dot``
+  → unpermute-and-combine weighted by router scores.
+Everything is traced — group sizes are traced arrays, no host sync, one
+compiled program for any routing outcome (the CUDA-graph-stability analogue).
+"""
+
+from __future__ import annotations
+
+import enum
+import functools
+from typing import Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from flashinfer_tpu.ops.activation import gelu_and_mul, silu_and_mul
+from flashinfer_tpu.ops.fp4 import fp4_dequantize
+
+__all__ = [
+    "RoutingMethodType",
+    "GatedActType",
+    "route_tokens",
+    "fused_moe",
+    "cutlass_fused_moe",
+    "trtllm_fp8_per_tensor_scale_moe",
+    "trtllm_fp8_block_scale_moe",
+    "trtllm_fp4_block_scale_moe",
+]
+
+
+class RoutingMethodType(enum.IntEnum):
+    """Reference fused_moe/core.py:62-77."""
+
+    Default = 0  # softmax -> top-k
+    Renormalize = 1  # top-k -> renormalized softmax over the k
+    DeepSeekV3 = 2  # sigmoid scores, group-limited top-k, renormalize
+    Llama4 = 3  # top-1 -> sigmoid scale
+    RenormalizeNaive = 4  # softmax -> top-k -> renormalize
+    TopK = 5  # plain top-k scores
+
+
+class GatedActType(enum.IntEnum):
+    """Reference fused_moe/core.py:164."""
+
+    SwiGlu = 0
+    GeGlu = 1
+
+
+def route_tokens(
+    router_logits: jax.Array,  # [m, num_experts] (scores for sigmoid methods)
+    top_k: int,
+    routing_method: RoutingMethodType = RoutingMethodType.Default,
+    *,
+    n_group: Optional[int] = None,
+    topk_group: Optional[int] = None,
+    routed_scaling_factor: float = 1.0,
+    routing_bias: Optional[jax.Array] = None,
+) -> Tuple[jax.Array, jax.Array]:
+    """Returns (expert_ids [m, k] int32, scales [m, k] f32).
+
+    Implements the reference's routing taxonomy (RoutingKernel.cuh:684,
+    fused_moe/core.py RoutingMethodType)."""
+    x = router_logits.astype(jnp.float32)
+    m, e = x.shape
+
+    if routing_method == RoutingMethodType.Default:
+        probs = jax.nn.softmax(x, axis=-1)
+        scales, ids = jax.lax.top_k(probs, top_k)
+    elif routing_method == RoutingMethodType.Renormalize:
+        vals, ids = jax.lax.top_k(x, top_k)
+        scales = jax.nn.softmax(vals, axis=-1)
+    elif routing_method == RoutingMethodType.RenormalizeNaive:
+        probs = jax.nn.softmax(x, axis=-1)
+        scales, ids = jax.lax.top_k(probs, top_k)
+        scales = scales / jnp.sum(scales, axis=-1, keepdims=True)
+    elif routing_method == RoutingMethodType.Llama4:
+        assert top_k == 1
+        vals, ids = jax.lax.top_k(x, 1)
+        scales = jax.nn.sigmoid(vals)
+    elif routing_method == RoutingMethodType.TopK:
+        scales, ids = jax.lax.top_k(x, top_k)
+    elif routing_method == RoutingMethodType.DeepSeekV3:
+        scores = jax.nn.sigmoid(x)
+        biased = scores if routing_bias is None else scores + routing_bias
+        ng = n_group or 1
+        tg = topk_group or ng
+        grouped = biased.reshape(m, ng, e // ng)
+        # group score = sum of top-2 in group (DeepSeek-V3 rule)
+        top2 = jax.lax.top_k(grouped, min(2, e // ng))[0].sum(-1)
+        _, keep_groups = jax.lax.top_k(top2, tg)
+        group_mask = jnp.zeros((m, ng), bool).at[
+            jnp.arange(m)[:, None], keep_groups
+        ].set(True)
+        masked = jnp.where(
+            jnp.repeat(group_mask, e // ng, axis=1), biased, -jnp.inf
+        )
+        _, ids = jax.lax.top_k(masked, top_k)
+        picked = jnp.take_along_axis(scores, ids, axis=1)
+        scales = picked / jnp.sum(picked, axis=-1, keepdims=True)
+        scales = scales * routed_scaling_factor
+    else:
+        raise ValueError(f"unknown routing method {routing_method}")
+    return ids.astype(jnp.int32), scales.astype(jnp.float32)
+
+
+def _permute_by_expert(expert_ids: jax.Array, num_experts: int):
+    """Stable sort of (token, k)-pairs by expert. Returns (order [m*k],
+    group_sizes [e])."""
+    flat = expert_ids.reshape(-1)
+    order = jnp.argsort(flat, stable=True)
+    group_sizes = jnp.bincount(flat, length=num_experts).astype(jnp.int32)
+    return order, group_sizes
+
+
+def fused_moe(
+    hidden_states: jax.Array,  # [m, hidden]
+    w13: jax.Array,  # [e, 2*inter, hidden]  (gate||up rows, NT layout)
+    w2: jax.Array,  # [e, hidden, inter]
+    expert_ids: jax.Array,  # [m, top_k]
+    expert_scales: jax.Array,  # [m, top_k]
+    *,
+    gated_act: GatedActType = GatedActType.SwiGlu,
+    w13_scale: Optional[jax.Array] = None,  # dequant scale(s) for fp8 weights
+    w2_scale: Optional[jax.Array] = None,
+    out_dtype=None,
+) -> jax.Array:
+    """Single-device fused MoE (the compute core of cutlass_fused_moe,
+    reference fused_moe/core.py:758). Quantized weights (fp8 per-tensor or
+    per-expert scales) dequantize on the way into the grouped GEMMs."""
+    m, hidden = hidden_states.shape
+    e, two_inter, _ = w13.shape
+    inter = two_inter // 2
+    top_k = expert_ids.shape[1]
+    out_dtype = out_dtype or hidden_states.dtype
+
+    def deq(w, s):
+        if w.dtype in (jnp.float8_e4m3fn, jnp.float8_e5m2) or s is not None:
+            w = w.astype(jnp.bfloat16)
+            if s is not None:
+                s = jnp.asarray(s, jnp.float32)
+                s = s.reshape(-1, 1, 1) if s.ndim <= 1 else s
+                w = (w.astype(jnp.float32) * s).astype(jnp.bfloat16)
+        return w
+
+    w13 = deq(w13, w13_scale)
+    w2 = deq(w2, w2_scale)
+
+    order, group_sizes = _permute_by_expert(expert_ids, e)
+    token_of = order // top_k
+    x_sorted = hidden_states[token_of]  # [m*k, hidden]
+
+    h1 = jax.lax.ragged_dot(
+        x_sorted, jnp.swapaxes(w13, 1, 2), group_sizes,
+        preferred_element_type=jnp.float32,
+    )  # [m*k, 2*inter]
+    act = silu_and_mul if gated_act == GatedActType.SwiGlu else gelu_and_mul
+    h1 = act(h1.astype(hidden_states.dtype))
+    h2 = jax.lax.ragged_dot(
+        h1, jnp.swapaxes(w2, 1, 2), group_sizes,
+        preferred_element_type=jnp.float32,
+    )  # [m*k, hidden]
+
+    # unpermute + combine
+    scales_sorted = expert_scales.reshape(-1)[order]
+    h2 = h2 * scales_sorted[:, None]
+    out = jnp.zeros((m, hidden), jnp.float32).at[token_of].add(h2)
+    return out.astype(out_dtype)
+
+
+def cutlass_fused_moe(
+    input: jax.Array,
+    token_selected_experts: jax.Array,
+    token_final_scales: jax.Array,
+    fc1_expert_weights: jax.Array,
+    fc2_expert_weights: jax.Array,
+    output_dtype=None,
+    *,
+    quant_scales: Sequence[jax.Array] = (),
+    tp_size: int = 1,
+    tp_rank: int = 0,
+    ep_size: int = 1,
+    ep_rank: int = 0,
+    **_compat,
+) -> jax.Array:
+    """API-parity entry point (reference fused_moe/core.py:758). tp/ep args
+    are accepted; sharded execution composes via parallel/moe.py (pass
+    locally-sharded weights and the local expert id range)."""
+    w13_scale = quant_scales[0] if len(quant_scales) > 0 else None
+    w2_scale = quant_scales[1] if len(quant_scales) > 1 else None
+    return fused_moe(
+        input,
+        fc1_expert_weights,
+        fc2_expert_weights,
+        token_selected_experts,
+        token_final_scales,
+        w13_scale=w13_scale,
+        w2_scale=w2_scale,
+        out_dtype=output_dtype,
+    )
+
+
+def trtllm_fp8_per_tensor_scale_moe(
+    routing_logits: jax.Array,
+    routing_bias: Optional[jax.Array],
+    hidden_states: jax.Array,
+    gemm1_weights: jax.Array,
+    output1_scales_scalar: jax.Array,
+    gemm2_weights: jax.Array,
+    output2_scales_scalar: jax.Array,
+    num_experts: int,
+    top_k: int,
+    n_group: Optional[int],
+    topk_group: Optional[int],
+    intermediate_size: int,
+    local_expert_offset: int = 0,
+    local_num_experts: Optional[int] = None,
+    routed_scaling_factor: float = 1.0,
+    use_routing_scales_on_input: bool = False,
+    routing_method_type: RoutingMethodType = RoutingMethodType.Default,
+    **_compat,
+) -> jax.Array:
+    """Routing + fp8 per-tensor-scale MoE (reference core.py:1669)."""
+    ids, scales = route_tokens(
+        routing_logits, top_k, routing_method_type,
+        n_group=n_group, topk_group=topk_group,
+        routed_scaling_factor=routed_scaling_factor,
+        routing_bias=routing_bias,
+    )
+    return fused_moe(
+        hidden_states, gemm1_weights, gemm2_weights, ids, scales,
+        w13_scale=output1_scales_scalar, w2_scale=output2_scales_scalar,
+        out_dtype=jnp.bfloat16,
+    )
+
+
+def trtllm_fp8_block_scale_moe(
+    routing_logits, routing_bias, hidden_states, hidden_states_scale,
+    gemm1_weights, gemm1_weights_scale, gemm2_weights, gemm2_weights_scale,
+    num_experts, top_k, n_group, topk_group, intermediate_size,
+    local_expert_offset: int = 0, local_num_experts: Optional[int] = None,
+    routed_scaling_factor: float = 1.0,
+    routing_method_type: RoutingMethodType = RoutingMethodType.DeepSeekV3,
+    **_compat,
+) -> jax.Array:
+    """fp8 with 128-block weight scales (reference core.py trtllm_fp8_block_
+    scale_moe): dequantize blockwise then run the grouped pipeline."""
+    def deq_block(w, s):
+        # w [e, n, k] e4m3, s [e, n/128, k/128]
+        e, n, k = w.shape
+        sn = jnp.repeat(jnp.repeat(s.astype(jnp.float32), 128, 1), 128, 2)
+        return (w.astype(jnp.float32) * sn[:, :n, :k]).astype(jnp.bfloat16)
+
+    ids, scales = route_tokens(
+        routing_logits, top_k, routing_method_type,
+        n_group=n_group, topk_group=topk_group,
+        routed_scaling_factor=routed_scaling_factor, routing_bias=routing_bias,
+    )
+    hs = hidden_states
+    if hidden_states_scale is not None:
+        k_tiles = hs.shape[1] // 128
+        hsf = hs.astype(jnp.float32).reshape(hs.shape[0], k_tiles, 128)
+        hs = (hsf * hidden_states_scale.astype(jnp.float32)[..., None]).reshape(
+            hs.shape[0], -1
+        ).astype(jnp.bfloat16)
+    return fused_moe(
+        hs, deq_block(gemm1_weights, gemm1_weights_scale),
+        deq_block(gemm2_weights, gemm2_weights_scale), ids, scales,
+        out_dtype=jnp.bfloat16,
+    )
+
+
+def trtllm_fp4_block_scale_moe(
+    routing_logits, routing_bias, hidden_states, hidden_states_scale,
+    gemm1_weights, gemm1_weights_scale, gemm2_weights, gemm2_weights_scale,
+    *args, num_experts=None, top_k=1, n_group=None, topk_group=None,
+    intermediate_size=None, routed_scaling_factor: float = 1.0,
+    routing_method_type: RoutingMethodType = RoutingMethodType.Renormalize,
+    **_compat,
+) -> jax.Array:
+    """fp4 (mxfp4) block-scale MoE (reference core.py:1951)."""
+    ids, scales = route_tokens(
+        routing_logits, top_k, routing_method_type,
+        n_group=n_group, topk_group=topk_group,
+        routed_scaling_factor=routed_scaling_factor, routing_bias=routing_bias,
+    )
+    w13 = fp4_dequantize(gemm1_weights, gemm1_weights_scale, sf_vec_size=32,
+                         sf_use_ue8m0=True, dtype=jnp.bfloat16)
+    w2 = fp4_dequantize(gemm2_weights, gemm2_weights_scale, sf_vec_size=32,
+                        sf_use_ue8m0=True, dtype=jnp.bfloat16)
+    return fused_moe(hidden_states, w13, w2, ids, scales,
+                     out_dtype=jnp.bfloat16)

@@ -34,7 +34,7 @@ class Mapping:
     tp_size: int = 1
     pp_size: int = 1
     cp_size: int = 1
-    dp_size: int = 1  # explicit data parallel (derived if 0)
+    dp_size: int = 0  # explicit data parallel (0/-1 = derive from world)
     moe_tp_size: int = -1  # -1: defaults to tp_size
     moe_ep_size: int = -1  # -1: defaults to 1
     enable_attention_dp: bool = False
@@ -43,12 +43,14 @@ class Mapping:
 
     def __post_init__(self):
         object.__setattr__(
-            self, "moe_tp_size",
-            self.tp_size if self.moe_tp_size == -1 else self.moe_tp_size,
-        )
-        object.__setattr__(
             self, "moe_ep_size",
             1 if self.moe_ep_size == -1 else self.moe_ep_size,
+        )
+        object.__setattr__(
+            self, "moe_tp_size",
+            (self.tp_size * self.cp_size) // self.moe_ep_size
+            if self.moe_tp_size == -1
+            else self.moe_tp_size,
         )
         dp = self.dp_size
         denom = self.tp_size * self.pp_size * self.cp_size

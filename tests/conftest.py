@@ -8,18 +8,15 @@ a real slice.
 
 import os
 
-# Must run before the first jax backend init. The environment pins
-# JAX_PLATFORMS=axon (TPU tunnel) — override hard, or every test op round
-# trips through the remote TPU relay.
+# Must run before the first jax backend init. The environment's
+# sitecustomize registers the axon TPU tunnel and sets the *config*
+# jax_platforms="axon,cpu" (which outranks the env var) — override the
+# config itself, or every test op round-trips through the remote TPU relay.
 os.environ["JAX_PLATFORMS"] = "cpu"
-xla_flags = os.environ.get("XLA_FLAGS", "")
-if "xla_force_host_platform_device_count" not in xla_flags:
-    os.environ["XLA_FLAGS"] = (
-        xla_flags + " --xla_force_host_platform_device_count=8"
-    ).strip()
 
 import jax
 
+jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_num_cpu_devices", 8)
 
 import numpy as np

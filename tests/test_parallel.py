@@ -1,0 +1,188 @@
+"""Parallel layer tests on the virtual 8-device CPU mesh (reference:
+tests/comm/ — multi-GPU tests spawned with NCCL; here shard_map over the
+forced 8-device mesh, SURVEY.md §4 TPU translation)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.sharding import Mesh, PartitionSpec as P
+
+from flashinfer_tpu.ops.attention.reference import attention_reference
+from flashinfer_tpu.ops.norm import rmsnorm
+from flashinfer_tpu.parallel import Mapping, make_mesh
+from flashinfer_tpu.parallel.collectives import (
+    MoeAlltoAll,
+    all_reduce,
+    allreduce_rmsnorm,
+    moe_allreduce_fusion,
+)
+from flashinfer_tpu.parallel.ring_attention import (
+    ring_attention,
+    ulysses_attention,
+)
+
+
+def _mesh1d(name="cp", n=4):
+    devs = np.asarray(jax.devices()[:n])
+    return Mesh(devs, (name,))
+
+
+# ---------------- Mapping ----------------
+
+
+def test_mapping_rank_math():
+    m = Mapping(world_size=16, rank=7, tp_size=2, pp_size=2, cp_size=2)
+    assert m.dp_size == 2
+    assert m.tp_rank == 1 and m.cp_rank == 1 and m.pp_rank == 1
+    assert m.dp_rank == 0
+    assert m.tp_group() == [6, 7]
+    assert m.cp_group() == [5, 7]
+    assert m.pp_group() == [3, 7]
+    assert m.dp_group() == [7, 15]
+    assert m.prev_pp_rank == 3 and m.next_pp_rank == 3
+    assert not m.is_first_pp_rank and m.is_last_pp_rank
+
+
+def test_mapping_moe_groups():
+    m = Mapping(world_size=8, rank=3, tp_size=4, cp_size=2,
+                moe_tp_size=2, moe_ep_size=4)
+    # cp*tp grid of 8 ranks refactors into ep(4) x moe_tp(2)
+    assert m.moe_tp_rank == (m.cp_rank * 4 + m.tp_rank) % 2
+    assert m.moe_ep_rank == (m.cp_rank * 4 + m.tp_rank) // 2
+    assert len(m.moe_ep_group()) == 4
+    assert len(m.moe_tp_group()) == 2
+    assert m.rank in m.moe_ep_group() and m.rank in m.moe_tp_group()
+
+
+def test_mapping_validation():
+    with pytest.raises(ValueError):
+        Mapping(world_size=6, tp_size=4)
+    with pytest.raises(ValueError):
+        Mapping(world_size=8, tp_size=4, moe_tp_size=3, moe_ep_size=2)
+
+
+def test_make_mesh_views():
+    mapping = Mapping(world_size=8, tp_size=2, cp_size=2, dp_size=2,
+                      moe_tp_size=1, moe_ep_size=4)
+    ctx = make_mesh(mapping)
+    assert ctx.mesh.shape == {"dp": 2, "pp": 1, "cp": 2, "tp": 2}
+    assert ctx.moe_mesh.shape == {"dp": 2, "pp": 1, "ep": 4, "moe_tp": 1}
+
+
+# ---------------- collectives ----------------
+
+
+def test_allreduce_rmsnorm_fusion():
+    mesh = _mesh1d("tp", 4)
+    rng = np.random.default_rng(0)
+    # per-device partial activations
+    x = jnp.asarray(rng.standard_normal((4, 8, 32)), jnp.float32)
+    residual = jnp.asarray(rng.standard_normal((8, 32)), jnp.float32)
+    w = jnp.asarray(rng.standard_normal(32), jnp.float32)
+
+    def body(x_local, residual, w):
+        return allreduce_rmsnorm(x_local[0], residual, w, axis_name="tp")
+
+    normed, new_res = jax.shard_map(
+        body, mesh=mesh,
+        in_specs=(P("tp"), P(), P()),
+        out_specs=(P(), P()),
+        check_vma=False,
+    )(x, residual, w)
+    want_res = np.asarray(x).sum(0) + np.asarray(residual)
+    np.testing.assert_allclose(np.asarray(new_res), want_res, rtol=1e-5,
+                               atol=1e-5)
+    np.testing.assert_allclose(
+        np.asarray(normed),
+        np.asarray(rmsnorm(jnp.asarray(want_res), w)),
+        rtol=1e-5, atol=1e-5,
+    )
+
+
+def test_moe_allreduce_fusion():
+    mesh = _mesh1d("tp", 2)
+    rng = np.random.default_rng(1)
+    moe = jnp.asarray(rng.standard_normal((2, 4, 16)), jnp.float32)
+    shared = jnp.asarray(rng.standard_normal((4, 16)), jnp.float32)
+    res = jnp.asarray(rng.standard_normal((4, 16)), jnp.float32)
+    w = jnp.ones(16, jnp.float32)
+
+    def body(moe_local, shared, res, w):
+        return moe_allreduce_fusion(
+            moe_local[0], jnp.float32(0.5), shared, res, w, axis_name="tp"
+        )
+
+    normed, new_res = jax.shard_map(
+        body, mesh=mesh, in_specs=(P("tp"), P(), P(), P()),
+        out_specs=(P(), P()), check_vma=False,
+    )(moe, shared, res, w)
+    want = 0.5 * np.asarray(moe).sum(0) + np.asarray(shared) + np.asarray(res)
+    np.testing.assert_allclose(np.asarray(new_res), want, rtol=1e-5, atol=1e-5)
+
+
+# ---------------- ring / ulysses CP ----------------
+
+
+@pytest.mark.parametrize("causal", [False, True])
+def test_ring_attention_matches_dense(causal):
+    mesh = _mesh1d("cp", 4)
+    rng = np.random.default_rng(2)
+    seq, h, d = 32, 2, 16
+    q = jnp.asarray(rng.standard_normal((seq, h, d)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((seq, h, d)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((seq, h, d)), jnp.float32)
+    out, lse = ring_attention(q, k, v, mesh, causal=causal, return_lse=True)
+    ref, ref_lse = attention_reference(q, k, v, causal=causal)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=2e-4,
+                               atol=2e-4)
+    np.testing.assert_allclose(np.asarray(lse), np.asarray(ref_lse),
+                               rtol=2e-4, atol=2e-4)
+
+
+def test_ulysses_attention_matches_dense():
+    mesh = _mesh1d("cp", 2)
+    rng = np.random.default_rng(3)
+    seq, h, d = 16, 4, 8
+    q = jnp.asarray(rng.standard_normal((seq, h, d)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((seq, h, d)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((seq, h, d)), jnp.float32)
+    out = ulysses_attention(q, k, v, mesh, causal=True)
+    ref, _ = attention_reference(q, k, v, causal=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=2e-4,
+                               atol=2e-4)
+
+
+# ---------------- MoE alltoall ----------------
+
+
+def test_moe_alltoall_roundtrip():
+    mesh = _mesh1d("ep", 4)
+    rng = np.random.default_rng(4)
+    num_experts, top_k, hidden = 8, 2, 16
+    local_tokens = 4
+    # global token array: [ep * local_tokens, hidden]
+    x = jnp.asarray(rng.standard_normal((16, hidden)), jnp.float32)
+    ids = jnp.asarray(rng.integers(0, num_experts, (16, top_k)), jnp.int32)
+    scales = jnp.asarray(rng.uniform(0.2, 1.0, (16, top_k)), jnp.float32)
+    a2a = MoeAlltoAll(num_experts, capacity=16, axis_name="ep")
+
+    def body(x, ids, scales):
+        recv_x, recv_e, slot = a2a.dispatch(x, ids)
+        # "expert computation" = scale by (expert id + 1)
+        y = recv_x * jnp.where(recv_e >= 0, recv_e + 1, 0)[:, None]
+        return a2a.combine(y, slot, ids, scales)
+
+    out = jax.shard_map(
+        body, mesh=mesh,
+        in_specs=(P("ep"), P("ep"), P("ep")),
+        out_specs=P("ep"),
+        check_vma=False,
+    )(x, ids, scales)
+    want = np.zeros((16, hidden), np.float32)
+    for t in range(16):
+        for j in range(top_k):
+            want[t] += float(scales[t, j]) * (int(ids[t, j]) + 1) * np.asarray(
+                x[t]
+            )
+    np.testing.assert_allclose(np.asarray(out), want, rtol=1e-4, atol=1e-4)
