@@ -24,8 +24,8 @@ def test_causal_equals_explicit_mask():
     kv_pos = np.arange(12)[None, :]
     mask = jnp.asarray(kv_pos <= q_pos)
     out_m, lse_m = attention_reference(q, k, v, custom_mask=mask)
-    np.testing.assert_allclose(np.asarray(out_c), np.asarray(out_m), rtol=1e-6)
-    np.testing.assert_allclose(np.asarray(lse_c), np.asarray(lse_m), rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(out_c), np.asarray(out_m), rtol=2e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(lse_c), np.asarray(lse_m), rtol=2e-5, atol=1e-6)
 
 
 def test_gqa_equals_repeated_heads():
@@ -35,7 +35,7 @@ def test_gqa_equals_repeated_heads():
     k_rep = jnp.repeat(k, 4, axis=1)
     v_rep = jnp.repeat(v, 4, axis=1)
     out_r, _ = attention_reference(q, k_rep, v_rep)
-    np.testing.assert_allclose(np.asarray(out_g), np.asarray(out_r), rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(out_g), np.asarray(out_r), rtol=2e-5, atol=1e-6)
 
 
 def test_kv_len_masking():
@@ -43,7 +43,7 @@ def test_kv_len_masking():
     q, k, v = _qkv(rng, 4, 16, 2, 2, 16)
     out_a, _ = attention_reference(q, k, v, kv_len=10)
     out_b, _ = attention_reference(q, k[:10], v[:10])
-    np.testing.assert_allclose(np.asarray(out_a), np.asarray(out_b), rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(out_a), np.asarray(out_b), rtol=2e-5, atol=1e-6)
 
 
 def test_sliding_window():
@@ -55,7 +55,7 @@ def test_sliding_window():
     kv_pos = np.arange(6)[None, :]
     mask = jnp.asarray((kv_pos <= q_pos) & (kv_pos > q_pos - 2))
     out_m, _ = attention_reference(q, k, v, custom_mask=mask)
-    np.testing.assert_allclose(np.asarray(out), np.asarray(out_m), rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(out_m), rtol=2e-5, atol=1e-6)
 
 
 def test_soft_cap_variant():
