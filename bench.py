@@ -1,19 +1,20 @@
-"""Headline benchmark: paged decode attention bandwidth vs measured roofline.
+"""Headline benchmark: paged decode attention bandwidth vs HBM roofline.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
-The north-star target (BASELINE.md) is >=85% of HBM roofline for the paged
-attention kernel; vs_baseline = achieved_fraction / 0.85.
+North-star (BASELINE.md): >=85% of HBM roofline for the paged attention
+kernel; vs_baseline = achieved_bw / (0.85 * nominal_hbm_bw).
 
-Methodology notes:
-  * The roofline is MEASURED in-situ (a Pallas streaming copy on the same
-    device) rather than taken from spec sheets — the dev environment tunnels
-    to a heavily de-rated TPU slice where nominal numbers are meaningless;
-    on real v5e/v5p the measured copy approaches the published HBM BW, so
-    the fraction is comparable across environments.
-  * Timing uses data-dependency chaining + a device-to-host sync: through
-    the tunnel, block_until_ready() returns before execution finishes, so
-    per-call wall timing lies. (Reference analogue: CUDA-event timing,
-    flashinfer/testing/utils.py:538.)
+Methodology (reference analogue: CUDA-event timing + CUDA-graph replay,
+flashinfer/testing/utils.py:538,855):
+  * The dev environment tunnels to the TPU with ~2-4 ms dispatch latency
+    per executable launch, so per-call wall timing is meaningless. We time
+    a lax.scan of N kernel iterations inside ONE compiled program and take
+    the difference between a long and a short scan:
+        per_iter = (T(n_long) - T(n_short)) / (n_long - n_short)
+    which cancels dispatch latency, H2D/D2H, and scan overhead — the same
+    role CUDA-graph replay timing plays for the reference.
+  * Caches are passed as jit arguments (closure capture would embed 0.5 GB
+    as HLO constants and overflow the remote-compile transport).
 """
 
 from __future__ import annotations
@@ -31,53 +32,35 @@ NUM_QO_HEADS = 32
 NUM_KV_HEADS = 8
 HEAD_DIM = 128
 PAGE_SIZE = 32
-ITERS = 8
+N_SHORT = 4
+N_LONG = 20
+
+# Nominal HBM bandwidth by device kind (GB/s). The measured streaming
+# ceiling on the tunneled dev chip is ~650 GB/s for v5e (fits 819 nominal
+# at typical ~80% efficiency), so the roofline fraction is comparable to
+# real-HW numbers.
+_NOMINAL_HBM = {
+    "v5 lite": 819e9,
+    "v5litepod": 819e9,
+    "v5e": 819e9,
+    "v5p": 2765e9,
+    "v4": 1228e9,
+    "v6 lite": 1640e9,
+    "v6e": 1640e9,
+}
 
 
-def _timeit_chained(step, x0, iters=ITERS):
-    """Median-free chained timing: serialize iterations through a data
-    dependency, then force a real sync with a D2H scalar fetch."""
-    x = step(x0)
-    _ = np.asarray(x.ravel()[0])  # warm + drain
-    t0 = time.perf_counter()
-    x = x0
-    for _ in range(iters):
-        x = step(x)
-    _ = np.asarray(x.ravel()[0])
-    return (time.perf_counter() - t0) / iters
-
-
-def _measure_copy_roofline(nbytes_hint: int = 128 * 1024 * 1024) -> float:
-    """Streaming read+write bandwidth (bytes/s) of a big-block Pallas copy."""
-    import jax
-    import jax.numpy as jnp
-    from jax.experimental import pallas as pl
-    from jax.experimental.pallas import tpu as pltpu
-
-    rows = nbytes_hint // 2 // 128
-    blk = 16384  # 4MB blocks
-    rows = (rows // blk) * blk
-    x = jnp.zeros((rows, 128), jnp.bfloat16)
-
-    def k_copy(xr, yr):
-        yr[:] = xr[:] * jnp.bfloat16(1.0000001)
-
-    f = jax.jit(
-        lambda a: pl.pallas_call(
-            k_copy,
-            grid=(rows // blk,),
-            in_specs=[pl.BlockSpec((blk, 128), lambda i: (i, 0),
-                                   memory_space=pltpu.VMEM)],
-            out_specs=pl.BlockSpec((blk, 128), lambda i: (i, 0),
-                                   memory_space=pltpu.VMEM),
-            out_shape=jax.ShapeDtypeStruct(x.shape, x.dtype),
-        )(a)
-    )
-    t = _timeit_chained(f, x, iters=4)
-    return 2 * x.size * 2 / t  # read + write
+def _nominal_bw(kind: str) -> float:
+    kind = kind.lower()
+    for key, bw in _NOMINAL_HBM.items():
+        if key in kind:
+            return bw
+    return 819e9
 
 
 def main() -> None:
+    import functools
+
     import jax
     import jax.numpy as jnp
 
@@ -86,10 +69,8 @@ def main() -> None:
     )
 
     dev = jax.devices()[0]
-    kind = getattr(dev, "device_kind", "unknown").lower()
+    kind = getattr(dev, "device_kind", "unknown")
     on_tpu = dev.platform == "tpu"
-
-    copy_bw = _measure_copy_roofline()
 
     rng = np.random.default_rng(0)
     dtype = jnp.bfloat16
@@ -117,26 +98,43 @@ def main() -> None:
         kv_chunk_size=2048,
     )
 
-    # chain q through the output so iterations serialize
-    step = jax.jit(
-        lambda q, kc, vc: q + wrapper.run(q, (kc, vc)) * jnp.bfloat16(1e-6)
-    )
-    t = _timeit_chained(lambda q: step(q, k_cache, v_cache), q0)
+    def step(q, _, kc, vc):
+        o = wrapper.run(q, (kc, vc))
+        # chain q through the output so scan iterations serialize
+        return q + o * jnp.bfloat16(0.001), ()
+
+    def make(n):
+        return jax.jit(
+            lambda q, kc, vc: jax.lax.scan(
+                functools.partial(step, kc=kc, vc=vc), q, None, length=n
+            )[0]
+        )
+
+    def timed(f, repeats=5):
+        y = f(q0, k_cache, v_cache)
+        np.asarray(y.ravel()[0])  # warm: compile + run
+        times = []
+        for _ in range(repeats):
+            t0 = time.perf_counter()
+            y = f(q0, k_cache, v_cache)
+            np.asarray(y.ravel()[0])
+            times.append(time.perf_counter() - t0)
+        return float(np.min(times))
+
+    t_short = timed(make(N_SHORT))
+    t_long = timed(make(N_LONG))
+    per_iter = (t_long - t_short) / (N_LONG - N_SHORT)
 
     kv_bytes = BATCH * KV_LEN * NUM_KV_HEADS * HEAD_DIM * 2 * 2  # k+v, bf16
-    achieved = kv_bytes / t
-    # north-star: >=85% of v5e's 819 GB/s nominal HBM roofline. The dev
-    # tunnel is heavily de-rated (measured streaming copy included in the
-    # unit string for context), so vs_baseline underestimates real-HW perf.
-    target = 0.85 * 819e9
+    achieved = kv_bytes / per_iter
+    target = 0.85 * _nominal_bw(kind)
 
     print(
         json.dumps(
             {
                 "metric": "paged_decode_attention_read_bw",
                 "value": round(achieved / 1e9, 2),
-                "unit": f"GB/s ({t*1e3:.3f} ms/step, env copy roofline "
-                        f"{copy_bw/1e9:.1f} GB/s rw;"
+                "unit": f"GB/s ({per_iter*1e3:.3f} ms/iter differential-scan;"
                         f" b{BATCH} kv{KV_LEN} h{NUM_QO_HEADS}/{NUM_KV_HEADS}"
                         f" d{HEAD_DIM} p{PAGE_SIZE} bf16, {kind})",
                 "vs_baseline": round(achieved / target, 4),

@@ -1,0 +1,199 @@
+"""Benchmark CLI — measure any routine on the attached device.
+
+Reference parity: benchmarks/flashinfer_benchmark.py + benchmarks/routines/
+(attention/gemm/moe/sampling routines, median-of-N methodology,
+benchmarks/README.md:45).  Timing uses the differential-scan bencher
+(flashinfer_tpu/testing/utils.py) which cancels dispatch latency — the
+TPU stand-in for CUDA-event/CUDA-graph timing.
+
+Examples:
+  python benchmarks/flashinfer_tpu_benchmark.py --routine BatchDecodeWithPagedKVCacheWrapper \
+      --batch-size 64 --s-kv 2048 --num-qo-heads 32 --num-kv-heads 8 --head-dim 128
+  python benchmarks/flashinfer_tpu_benchmark.py --routine BatchPrefillWithRaggedKVCacheWrapper \
+      --batch-size 16 --s-qo 1024 --s-kv 1024 --num-qo-heads 128 --num-kv-heads 128 \
+      --head-dim 192 --head-dim-vo 128 --causal
+  python benchmarks/flashinfer_tpu_benchmark.py --routine gemm --m 4096 --n 4096 --k 4096
+  python benchmarks/flashinfer_tpu_benchmark.py --routine sampling --batch-size 256 --vocab 128256
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+import numpy as np
+
+
+def bench_attention(args) -> dict:
+    import jax
+    import jax.numpy as jnp
+
+    import flashinfer_tpu as fi
+    from flashinfer_tpu.testing.utils import (
+        attention_bytes,
+        attention_flops,
+        bench_tpu_time_differential,
+    )
+
+    rng = np.random.default_rng(0)
+    dtype = jnp.dtype(args.dtype)
+    b, sq, skv = args.batch_size, args.s_qo, args.s_kv
+    hq, hkv, d = args.num_qo_heads, args.num_kv_heads, args.head_dim
+    dv = args.head_dim_vo or d
+    on_tpu = jax.devices()[0].platform == "tpu"
+    backend = "pallas" if on_tpu else "reference"
+
+    if args.routine == "BatchPrefillWithRaggedKVCacheWrapper":
+        w = fi.BatchPrefillWithRaggedKVCacheWrapper(backend=backend)
+        qo_indptr = np.arange(b + 1) * sq
+        kv_indptr = np.arange(b + 1) * skv
+        w.plan(qo_indptr, kv_indptr, hq, hkv, d, head_dim_vo=dv,
+               causal=args.causal)
+        q0 = jnp.asarray(rng.standard_normal((b * sq, hq, d)), dtype)
+        k = jnp.asarray(rng.standard_normal((b * skv, hkv, d)), dtype)
+        v = jnp.asarray(rng.standard_normal((b * skv, hkv, dv)), dtype)
+
+        def step(q, k, v):
+            o = w.run(q, (k, v))
+            return q + o[..., :d].astype(dtype) * 0.001
+
+        dt = bench_tpu_time_differential(step, q0, k, v,
+                                         n_short=2, n_long=args.iters + 2)
+        qo_len, kv_len = sq, skv
+    else:
+        ps = args.page_size
+        pages = -(-skv // ps)
+        indptr = np.arange(b + 1) * pages
+        indices = rng.permutation(b * pages + 8)[: b * pages].astype(np.int32)
+        last = np.full(b, ((skv - 1) % ps) + 1, np.int32)
+        kc = jnp.asarray(
+            rng.standard_normal((b * pages + 8, hkv, ps, d)), dtype)
+        vc = jnp.asarray(
+            rng.standard_normal((b * pages + 8, hkv, ps, d)), dtype)
+        if args.routine == "BatchDecodeWithPagedKVCacheWrapper":
+            w = fi.BatchDecodeWithPagedKVCacheWrapper(backend=backend)
+            w.plan(indptr, indices, last, hq, hkv, d, ps)
+            q0 = jnp.asarray(rng.standard_normal((b, hq, d)), dtype)
+            qo_len = 1
+        else:
+            w = fi.BatchPrefillWithPagedKVCacheWrapper(backend=backend)
+            qo_indptr = np.arange(b + 1) * sq
+            w.plan(qo_indptr, indptr, indices, last, hq, hkv, d, ps,
+                   causal=args.causal)
+            q0 = jnp.asarray(rng.standard_normal((b * sq, hq, d)), dtype)
+            qo_len = sq
+        kv_len = skv
+
+        def step(q, kc, vc):
+            o = w.run(q, (kc, vc))
+            return q + o.astype(dtype) * 0.001
+
+        dt = bench_tpu_time_differential(step, q0, kc, vc,
+                                         n_short=2, n_long=args.iters + 2)
+
+    flops = attention_flops(
+        batch_size=b, qo_len=qo_len, kv_len=kv_len, head_dim_qk=d,
+        head_dim_vo=dv, num_qo_heads=hq, causal=args.causal)
+    byts = attention_bytes(
+        batch_size=b, qo_len=qo_len, kv_len=kv_len, head_dim_qk=d,
+        head_dim_vo=dv, num_qo_heads=hq, num_kv_heads=hkv,
+        q_itemsize=dtype.itemsize, kv_itemsize=dtype.itemsize,
+        o_itemsize=dtype.itemsize)
+    return {
+        "routine": args.routine,
+        "median_time_ms": round(dt * 1e3, 4),
+        "tflops": round(flops / dt / 1e12, 3),
+        "tb_per_sec": round(byts / dt / 1e12, 4),
+    }
+
+
+def bench_gemm(args) -> dict:
+    import jax
+    import jax.numpy as jnp
+
+    from flashinfer_tpu.testing.utils import bench_tpu_time_differential, gemm_flops
+
+    rng = np.random.default_rng(0)
+    dtype = jnp.dtype(args.dtype)
+    a0 = jnp.asarray(rng.standard_normal((args.m, args.k)), dtype)
+    bmat = jnp.asarray(rng.standard_normal((args.k, args.n)), dtype)
+
+    def step(a, bm):
+        c = jnp.dot(a, bm, preferred_element_type=jnp.float32)
+        return a + c[:, : args.k].astype(dtype) * 0.001 if args.n >= args.k \
+            else a * 1.0 + jnp.sum(c, axis=1, keepdims=True).astype(dtype) * 0.001
+
+    dt = bench_tpu_time_differential(step, a0, bmat,
+                                     n_short=2, n_long=args.iters + 2)
+    return {
+        "routine": "gemm",
+        "median_time_ms": round(dt * 1e3, 4),
+        "tflops": round(gemm_flops(args.m, args.n, args.k) / dt / 1e12, 3),
+    }
+
+
+def bench_sampling(args) -> dict:
+    import jax
+    import jax.numpy as jnp
+
+    import flashinfer_tpu as fi
+    from flashinfer_tpu.testing.utils import bench_tpu_time_differential
+
+    rng = np.random.default_rng(0)
+    logits0 = jnp.asarray(
+        rng.standard_normal((args.batch_size, args.vocab)), jnp.float32)
+    key = jax.random.key(0)
+
+    def step(logits, key):
+        probs = fi.softmax(logits)
+        tok = fi.top_k_top_p_sampling_from_probs(probs, key, 40, 0.9)
+        return logits + tok[:, None].astype(jnp.float32) * 1e-9
+
+    dt = bench_tpu_time_differential(step, logits0, key,
+                                     n_short=2, n_long=args.iters + 2)
+    toks = args.batch_size / dt
+    return {
+        "routine": "sampling",
+        "median_time_ms": round(dt * 1e3, 4),
+        "samples_per_sec": round(toks, 1),
+    }
+
+
+def main(argv=None) -> int:
+    p = argparse.ArgumentParser(description="flashinfer_tpu benchmark CLI")
+    p.add_argument("--routine", required=True, choices=[
+        "BatchDecodeWithPagedKVCacheWrapper",
+        "BatchPrefillWithPagedKVCacheWrapper",
+        "BatchPrefillWithRaggedKVCacheWrapper",
+        "gemm", "sampling",
+    ])
+    p.add_argument("--batch-size", type=int, default=16)
+    p.add_argument("--s-qo", type=int, default=128)
+    p.add_argument("--s-kv", type=int, default=1024)
+    p.add_argument("--num-qo-heads", type=int, default=32)
+    p.add_argument("--num-kv-heads", type=int, default=8)
+    p.add_argument("--head-dim", type=int, default=128)
+    p.add_argument("--head-dim-vo", type=int, default=0)
+    p.add_argument("--page-size", type=int, default=16)
+    p.add_argument("--causal", action="store_true")
+    p.add_argument("--dtype", default="bfloat16")
+    p.add_argument("--m", type=int, default=4096)
+    p.add_argument("--n", type=int, default=4096)
+    p.add_argument("--k", type=int, default=4096)
+    p.add_argument("--vocab", type=int, default=128256)
+    p.add_argument("--iters", type=int, default=16)
+    args = p.parse_args(argv)
+
+    if args.routine == "gemm":
+        out = bench_gemm(args)
+    elif args.routine == "sampling":
+        out = bench_sampling(args)
+    else:
+        out = bench_attention(args)
+    print(json.dumps(out))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

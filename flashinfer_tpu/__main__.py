@@ -1,0 +1,105 @@
+"""``python -m flashinfer_tpu`` — framework CLI.
+
+Reference parity: flashinfer/__main__.py:59 (click CLI with ``show-config``,
+JIT cache status/clear, module registry listing).  argparse instead of click
+(no extra deps); the artifact/cubin subcommands have no TPU counterpart —
+XLA's persistent compilation cache plays that role and is reported by
+``show-config`` / warmed by ``aot``.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+
+def _cmd_show_config(_args) -> int:
+    import jax
+
+    import flashinfer_tpu
+    from flashinfer_tpu.jit import CACHE_DIR, jit_registry
+    from flashinfer_tpu.jit.env import planner_backend
+    from flashinfer_tpu.scheduler.native import native_plan_available
+
+    info = {
+        "flashinfer_tpu_version": flashinfer_tpu.__version__,
+        "jax_version": jax.__version__,
+        "devices": [str(d) for d in jax.devices()],
+        "default_backend": jax.default_backend(),
+        "native_cache_dir": str(CACHE_DIR),
+        "planner_backend": planner_backend(),
+        "native_runtime_available": native_plan_available(),
+        "native_modules": jit_registry.get_stats(),
+        "env": {
+            k: v
+            for k, v in os.environ.items()
+            if k.startswith(("FLASHINFER_TPU_", "JAX_", "XLA_"))
+        },
+    }
+    print(json.dumps(info, indent=2))
+    return 0
+
+
+def _cmd_cache_status(_args) -> int:
+    from flashinfer_tpu.jit.env import NATIVE_BUILD_DIR
+
+    entries = []
+    if NATIVE_BUILD_DIR.exists():
+        for p in sorted(NATIVE_BUILD_DIR.glob("*.so")):
+            entries.append({"file": p.name, "bytes": p.stat().st_size})
+    print(json.dumps({"dir": str(NATIVE_BUILD_DIR), "entries": entries}, indent=2))
+    return 0
+
+
+def _cmd_cache_clear(_args) -> int:
+    from flashinfer_tpu.jit import clear_cache
+
+    print(f"removed {clear_cache()} cached native build files")
+    return 0
+
+
+def _cmd_list_ops(_args) -> int:
+    import flashinfer_tpu
+
+    for name in sorted(flashinfer_tpu.__all__):
+        print(name)
+    return 0
+
+
+def _cmd_aot(args) -> int:
+    from flashinfer_tpu.aot import warmup
+
+    n = warmup(configs=args.config or None, verbose=True)
+    print(f"warmed {n} compilation-cache entries")
+    return 0
+
+
+def main(argv=None) -> int:
+    parser = argparse.ArgumentParser(
+        prog="flashinfer_tpu", description=__doc__.splitlines()[0]
+    )
+    sub = parser.add_subparsers(dest="cmd", required=True)
+    sub.add_parser("show-config", help="dump version/device/env/cache info")
+    sub.add_parser("cache-status", help="list cached native builds")
+    sub.add_parser("cache-clear", help="delete cached native builds")
+    sub.add_parser("list-ops", help="list public API symbols")
+    p_aot = sub.add_parser(
+        "aot", help="pre-compile the default kernel universe into the "
+        "persistent compilation cache"
+    )
+    p_aot.add_argument("--config", action="append", help="config name(s)")
+
+    args = parser.parse_args(argv)
+    return {
+        "show-config": _cmd_show_config,
+        "cache-status": _cmd_cache_status,
+        "cache-clear": _cmd_cache_clear,
+        "list-ops": _cmd_list_ops,
+        "aot": _cmd_aot,
+    }[args.cmd](args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -102,6 +102,37 @@ def plan_attention(
     qo_indptr: np.ndarray,
     kv_lens: np.ndarray,
     *,
+    backend: Optional[str] = None,
+    **kwargs,
+) -> AttentionPlan:
+    """Plan a variable-length attention batch (see _plan_attention_numpy for
+    the full argument list — the NumPy implementation is the spec).
+
+    backend: "native" (C++ planner, csrc/planner.cc), "numpy", or None to
+    follow FLASHINFER_TPU_PLANNER (auto = native when buildable). The two
+    implementations are property-tested to agree exactly.
+    """
+    if backend is None:
+        from flashinfer_tpu.jit.env import planner_backend
+
+        backend = planner_backend()
+    if backend in ("native", "auto"):
+        from flashinfer_tpu.scheduler.native import (
+            native_plan_attention,
+            native_plan_available,
+        )
+
+        if native_plan_available():
+            return native_plan_attention(qo_indptr, kv_lens, **kwargs)
+        if backend == "native":
+            raise RuntimeError("FLASHINFER_TPU_PLANNER=native but build failed")
+    return _plan_attention_numpy(qo_indptr, kv_lens, **kwargs)
+
+
+def _plan_attention_numpy(
+    qo_indptr: np.ndarray,
+    kv_lens: np.ndarray,
+    *,
     qo_token_lens: Optional[np.ndarray] = None,
     gqa_group: int = 1,
     kv_indptr: Optional[np.ndarray] = None,
@@ -138,6 +169,27 @@ def plan_attention(
     kv_lens = np.asarray(kv_lens, np.int64)
     batch_size = len(kv_lens)
     assert qo_indptr.shape == (batch_size + 1,)
+    if batch_size == 0:
+        capacity = work_capacity or _MIN_WORK_CAPACITY
+        if kv_chunk_size is None:
+            # the derivation loop halves all the way down on an empty batch
+            kv_chunk_size = max_kv_chunk_size
+            while kv_chunk_size // 2 >= min_kv_chunk_size:
+                kv_chunk_size //= 2
+        chunk = round_up(max(kv_chunk_size, page_size), page_size)
+        zeros = np.zeros(capacity, np.int32)
+        return AttentionPlan(
+            tile_q=tile_q, kv_chunk_size=int(chunk), num_work_items=capacity,
+            total_rows=0, batch_size=0, page_size=page_size,
+            request_indices=np.full(capacity, -1, np.int32),
+            qo_tile_indices=zeros, kv_tile_indices=zeros,
+            qo_start_row=zeros, qo_tile_len=zeros, kv_start=zeros,
+            kv_end=zeros, kv_page_start=zeros,
+            num_kv_splits=np.ones(capacity, np.int32),
+            q_pos_base=zeros, gqa_group=gqa_group,
+            merge_out_row=np.full(capacity * tile_q, -1, np.int32),
+            num_valid_items=0,
+        )
     qo_lens = qo_indptr[1:] - qo_indptr[:-1]
     if qo_token_lens is None:
         qo_token_lens = qo_lens // gqa_group
