@@ -33,7 +33,7 @@ NUM_KV_HEADS = 8
 HEAD_DIM = 128
 PAGE_SIZE = 32
 N_SHORT = 4
-N_LONG = 20
+N_LONG = 36
 
 # Nominal HBM bandwidth by device kind (GB/s). The measured streaming
 # ceiling on the tunneled dev chip is ~650 GB/s for v5e (fits 819 nominal
@@ -110,7 +110,7 @@ def main() -> None:
             )[0]
         )
 
-    def timed(f, repeats=5):
+    def timed(f, repeats=7):
         y = f(q0, k_cache, v_cache)
         np.asarray(y.ravel()[0])  # warm: compile + run
         times = []

@@ -160,14 +160,65 @@ def bench_sampling(args) -> dict:
     }
 
 
+def bench_serving(args) -> dict:
+    """Continuous-batching decode throughput (BASELINE.md tokens/sec/chip
+    north star). Note: per-step host planning + dispatch ride the tunnel's
+    multi-ms latency in this dev environment; steady-state device time per
+    token is far lower (see the attention routine)."""
+    import time
+
+    import jax
+    import numpy as np
+
+    from flashinfer_tpu.models.llama import LlamaConfig
+    from flashinfer_tpu.serving import EngineConfig, LlamaServingEngine
+
+    presets = {
+        "tiny": LlamaConfig.tiny(),
+        "1b": LlamaConfig(
+            vocab_size=32000, hidden_size=2048, intermediate_size=5632,
+            num_layers=16, num_qo_heads=16, num_kv_heads=4, head_dim=128),
+        "8b": LlamaConfig.llama3_8b(),
+    }
+    mc = presets[args.model]
+    cfg = EngineConfig(
+        model=mc, max_batch=args.batch_size, num_pages=args.num_pages,
+        page_size=args.page_size, max_seq_len=args.s_kv, greedy=True,
+    )
+    eng = LlamaServingEngine(cfg, seed=0)
+    rng = np.random.default_rng(0)
+    for _ in range(args.batch_size):
+        eng.add_request(
+            rng.integers(0, mc.vocab_size, args.s_qo).tolist(),
+            args.iters + 8)
+    eng.step()  # prefill + compiles
+    for _ in range(2):
+        eng.step()  # decode warm (compile)
+    t0 = time.perf_counter()
+    n0 = eng.generated_tokens
+    for _ in range(args.iters):
+        eng.step()
+    dt = time.perf_counter() - t0
+    toks = eng.generated_tokens - n0
+    return {
+        "routine": "serving",
+        "model": args.model,
+        "tokens_per_sec": round(toks / dt, 1),
+        "ms_per_step": round(dt / args.iters * 1e3, 2),
+        "batch": args.batch_size,
+    }
+
+
 def main(argv=None) -> int:
     p = argparse.ArgumentParser(description="flashinfer_tpu benchmark CLI")
     p.add_argument("--routine", required=True, choices=[
         "BatchDecodeWithPagedKVCacheWrapper",
         "BatchPrefillWithPagedKVCacheWrapper",
         "BatchPrefillWithRaggedKVCacheWrapper",
-        "gemm", "sampling",
+        "gemm", "sampling", "serving",
     ])
+    p.add_argument("--model", default="1b", choices=["tiny", "1b", "8b"])
+    p.add_argument("--num-pages", type=int, default=4096)
     p.add_argument("--batch-size", type=int, default=16)
     p.add_argument("--s-qo", type=int, default=128)
     p.add_argument("--s-kv", type=int, default=1024)
@@ -189,6 +240,8 @@ def main(argv=None) -> int:
         out = bench_gemm(args)
     elif args.routine == "sampling":
         out = bench_sampling(args)
+    elif args.routine == "serving":
+        out = bench_serving(args)
     else:
         out = bench_attention(args)
     print(json.dumps(out))

@@ -57,6 +57,9 @@ __all__ = [
     "BatchPrefillWithRaggedKVCacheWrapper",
     "BatchDecodeWithPagedKVCacheWrapper",
     "BatchAttentionWithAttentionSinkWrapper",
+    "DevicePlan",
+    "PlanMeta",
+    "run_device_plan",
 ]
 
 
@@ -64,28 +67,167 @@ def _bucket(n: int, minimum: int = 1) -> int:
     return max(minimum, next_power_of_2(n))
 
 
-@dataclasses.dataclass
-class PlanState:
-    plan: AttentionPlan
-    plan_arrays: Tuple[jax.Array, ...]
-    kv_indices: jax.Array  # padded+clamped page table (or token base dummy)
-    row_src: jax.Array  # [bucket_rows] gather into (token*group) row space
-    row_valid: jax.Array  # [bucket_rows] bool
-    merge_out_row: jax.Array  # [T*tile_q]
-    out_map: jax.Array  # [nnz*group] padded-row index per (token, g)
+@dataclasses.dataclass(frozen=True)
+class PlanMeta:
+    """Static (hashable) half of a device plan — the jit cache key. Every
+    field is a pure function of the plan's *buckets*, so one compiled program
+    serves all batches landing in the same buckets (the XLA analogue of the
+    reference's CUDA-graph-stable plan, scheduler.cuh:694)."""
+
+    tile_q: int
+    kv_chunk_size: int
+    num_work_items: int
+    page_size: int
+    gqa_group: int
     bucket_rows: int
     nnz: int
     num_qo_heads: int
     num_kv_heads: int
     head_dim_qk: int
     head_dim_vo: int
-    page_size: int
     causal: bool
     sm_scale: float
     window_left: int
     ragged: bool
+
+
+@jax.tree_util.register_pytree_node_class
+@dataclasses.dataclass
+class DevicePlan:
+    """Dynamic half of a plan: device arrays, registered as a pytree so a
+    jitted serving step can take the whole plan as an argument — new plan,
+    same buckets => no retrace."""
+
+    plan_arrays: Tuple[jax.Array, ...]
+    kv_indices: jax.Array
+    row_src: jax.Array
+    row_valid: jax.Array
+    merge_out_row: jax.Array
+    out_map: jax.Array
+    meta: PlanMeta
+
+    def tree_flatten(self):
+        children = (
+            self.plan_arrays,
+            self.kv_indices,
+            self.row_src,
+            self.row_valid,
+            self.merge_out_row,
+            self.out_map,
+        )
+        return children, self.meta
+
+    @classmethod
+    def tree_unflatten(cls, meta, children):
+        return cls(*children, meta=meta)
+
+
+def run_device_plan(
+    dplan: DevicePlan,
+    q: jax.Array,
+    k: jax.Array,
+    v: jax.Array,
+    *,
+    tile_k: int = 512,
+    variant: AttentionVariant = None,
+    variant_params: Any = None,
+    kv_layout: TensorLayout = TensorLayout.HND,
+    return_lse: bool = False,
+    interpret: Optional[bool] = None,
+):
+    """Functional run stage: execute a DevicePlan. Fully traceable — every
+    input is a jit argument; statics live in dplan.meta. This is what
+    serving engines jit (wrapper.run delegates here)."""
+    m = dplan.meta
+    if variant is None:
+        variant = make_default_variant()
+    group = m.num_qo_heads // m.num_kv_heads
+    nnz, hq, d = q.shape
+
+    plan_meta = AttentionPlan(
+        tile_q=m.tile_q,
+        kv_chunk_size=m.kv_chunk_size,
+        num_work_items=m.num_work_items,
+        total_rows=0,
+        batch_size=0,
+        page_size=m.page_size,
+        request_indices=None,
+        qo_tile_indices=None,
+        kv_tile_indices=None,
+        qo_start_row=None,
+        qo_tile_len=None,
+        kv_start=None,
+        kv_end=None,
+        kv_page_start=None,
+        num_kv_splits=None,
+        q_pos_base=None,
+        gqa_group=m.gqa_group,
+        merge_out_row=None,
+        num_valid_items=0,
+    )
+
+    q_r = (
+        q.reshape(nnz, m.num_kv_heads, group, d)
+        .transpose(1, 0, 2, 3)
+        .reshape(m.num_kv_heads, nnz * group, d)
+    )
+    packed = jnp.take(q_r, dplan.row_src, axis=1)
+    packed = jnp.where(dplan.row_valid[None, :, None], packed, 0)
+
+    if m.ragged:
+        pad = tile_k
+        k = jnp.pad(k, ((0, pad), (0, 0), (0, 0)))
+        v = jnp.pad(v, ((0, pad), (0, 0), (0, 0)))
+
+    partial_o, partial_lse = batch_paged_attention_run(
+        packed,
+        k,
+        v,
+        dplan.kv_indices,
+        dplan.plan_arrays,
+        plan_meta=plan_meta,
+        causal=m.causal,
+        sm_scale=m.sm_scale,
+        window_left=m.window_left,
+        tile_k=tile_k,
+        variant=variant,
+        variant_params=variant_params,
+        kv_layout=kv_layout,
+        ragged=m.ragged,
+        interpret=interpret,
+    )
+    T, kvh, tile_q, dv = partial_o.shape
+    pv = partial_o.transpose(0, 2, 1, 3).reshape(T * tile_q, kvh, dv)
+    ps = partial_lse.transpose(0, 2, 1).reshape(T * tile_q, kvh)
+    merged_v, merged_s = scatter_merge_states(
+        pv, ps, dplan.merge_out_row, m.bucket_rows
+    )
+    out = jnp.take(merged_v, dplan.out_map, axis=0)
+    out = (
+        out.reshape(nnz, group, kvh, dv)
+        .transpose(0, 2, 1, 3)
+        .reshape(nnz, hq, dv)[:, :, : m.head_dim_vo]
+    )
+    if return_lse:
+        lse = jnp.take(merged_s, dplan.out_map, axis=0)
+        lse = lse.reshape(nnz, group, kvh).transpose(0, 2, 1).reshape(nnz, hq)
+        return out, lse
+    return out
+
+
+@dataclasses.dataclass
+class PlanState:
+    plan: AttentionPlan
+    device_plan: DevicePlan
     # host copies for the reference fallback
     host: dict = dataclasses.field(default_factory=dict)
+
+    def __getattr__(self, name):
+        # passthrough: dynamic arrays live on device_plan, statics on meta
+        dp = object.__getattribute__(self, "device_plan")
+        if hasattr(dp, name):
+            return getattr(dp, name)
+        return getattr(dp.meta, name)
 
 
 class BatchAttention:
@@ -132,6 +274,7 @@ class BatchAttention:
         kv_chunk_size: Optional[int] = None,
         kv_len_arr=None,
         variant_params: Any = None,
+        work_capacity: Optional[int] = None,
         **_ignored,  # workspace buffers etc. accepted for API familiarity
     ):
         """Host-side plan; see module docstring. All indptr/indices args are
@@ -180,6 +323,7 @@ class BatchAttention:
             page_size=1 if self._ragged else page_size,
             tile_q=tile_q,
             kv_chunk_size=chunk,
+            work_capacity=work_capacity,
             causal=causal,
         )
         if self._ragged:
@@ -232,25 +376,35 @@ class BatchAttention:
         self._variant_resolved = variant
         self._variant_params = variant_params
 
-        self._state = PlanState(
-            plan=plan,
-            plan_arrays=tuple(jnp.asarray(a) for a in plan.prefetch_arrays()),
-            kv_indices=kv_idx_dev,
-            row_src=jnp.asarray(row_src),
-            row_valid=jnp.asarray(valid_row),
-            merge_out_row=jnp.asarray(merge_out_row),
-            out_map=jnp.asarray(out_map),
+        meta = PlanMeta(
+            tile_q=plan.tile_q,
+            kv_chunk_size=plan.kv_chunk_size,
+            num_work_items=plan.num_work_items,
+            page_size=page_size,
+            gqa_group=plan.gqa_group,
             bucket_rows=bucket_rows,
             nnz=qo_token_total,
             num_qo_heads=num_qo_heads,
             num_kv_heads=num_kv_heads,
             head_dim_qk=head_dim_qk,
             head_dim_vo=head_dim_vo,
-            page_size=page_size,
             causal=causal,
             sm_scale=sm_scale,
             window_left=window_left,
             ragged=self._ragged,
+        )
+        device_plan = DevicePlan(
+            plan_arrays=tuple(jnp.asarray(a) for a in plan.prefetch_arrays()),
+            kv_indices=kv_idx_dev,
+            row_src=jnp.asarray(row_src),
+            row_valid=jnp.asarray(valid_row),
+            merge_out_row=jnp.asarray(merge_out_row),
+            out_map=jnp.asarray(out_map),
+            meta=meta,
+        )
+        self._state = PlanState(
+            plan=plan,
+            device_plan=device_plan,
             host=dict(
                 qo_indptr=qo_indptr,
                 kv_indptr=kv_indptr,
@@ -259,6 +413,12 @@ class BatchAttention:
             ),
         )
         return self
+
+    @property
+    def device_plan(self) -> Optional[DevicePlan]:
+        """The functional plan for jitted serving loops (see
+        run_device_plan)."""
+        return self._state.device_plan if self._state else None
 
     # -- run ----------------------------------------------------------------
 
@@ -305,62 +465,21 @@ class BatchAttention:
 
     def _run_pallas(self, q, kv_cache, return_lse, interpret):
         st = self._state
-        group = st.num_qo_heads // st.num_kv_heads
-        nnz, hq, d = q.shape
+        nnz = q.shape[0]
         assert nnz == st.nnz, f"q rows {nnz} != planned {st.nnz}"
         k, v = self._split_cache(kv_cache)
-
-        # pack q: [kvh, bucket_rows, d]
-        q_r = (
-            q.reshape(nnz, st.num_kv_heads, group, d)
-            .transpose(1, 0, 2, 3)
-            .reshape(st.num_kv_heads, nnz * group, d)
-        )
-        packed = jnp.take(q_r, st.row_src, axis=1)
-        packed = jnp.where(st.row_valid[None, :, None], packed, 0)
-
-        if st.ragged:
-            # pad kv so tile_k window DMAs never run off the end
-            pad = self._tile_k
-            k = jnp.pad(k, ((0, pad), (0, 0), (0, 0)))
-            v = jnp.pad(v, ((0, pad), (0, 0), (0, 0)))
-
-        partial_o, partial_lse = batch_paged_attention_run(
-            packed,
+        return run_device_plan(
+            st.device_plan,
+            q,
             k,
             v,
-            st.kv_indices,
-            st.plan_arrays,
-            plan_meta=st.plan,
-            causal=st.causal,
-            sm_scale=st.sm_scale,
-            window_left=st.window_left,
             tile_k=self._tile_k,
             variant=self._variant_resolved,
             variant_params=self._variant_params,
             kv_layout=self._layout,
-            ragged=st.ragged,
+            return_lse=return_lse,
             interpret=interpret,
         )
-        T, kvh, tile_q, dv = partial_o.shape
-        pv = partial_o.transpose(0, 2, 1, 3).reshape(T * tile_q, kvh, dv)
-        ps = partial_lse.transpose(0, 2, 1).reshape(T * tile_q, kvh)
-        merged_v, merged_s = scatter_merge_states(
-            pv, ps, st.merge_out_row, st.bucket_rows
-        )
-        out = jnp.take(merged_v, st.out_map, axis=0)  # [nnz*group, kvh, dv]
-        out = (
-            out.reshape(nnz, group, kvh, dv)
-            .transpose(0, 2, 1, 3)
-            .reshape(nnz, hq, dv)[:, :, : st.head_dim_vo]
-        )
-        if return_lse:
-            lse = jnp.take(merged_s, st.out_map, axis=0)
-            lse = (
-                lse.reshape(nnz, group, kvh).transpose(0, 2, 1).reshape(nnz, hq)
-            )
-            return out, lse
-        return out
 
     def _run_reference(self, q, kv_cache, return_lse):
         """Concrete-value oracle path (CPU default): gathers each request's

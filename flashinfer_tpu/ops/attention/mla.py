@@ -29,7 +29,13 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from flashinfer_tpu.ops.attention.batch import PlanState, _bucket, round_up_np
+from flashinfer_tpu.ops.attention.batch import (
+    DevicePlan,
+    PlanMeta,
+    PlanState,
+    _bucket,
+    round_up_np,
+)
 from flashinfer_tpu.ops.attention.reference import attention_reference
 from flashinfer_tpu.ops.attention.state import scatter_merge_states
 from flashinfer_tpu.scheduler.plan import AttentionPlan, plan_attention
@@ -361,25 +367,35 @@ class BatchMLAPagedAttentionWrapper:
         cap = _bucket(max(len(kv_indices_np), 1))
         padded_idx = np.zeros(cap, np.int32)
         padded_idx[: len(kv_indices_np)] = kv_indices_np
-        self._state = PlanState(
-            plan=plan,
-            plan_arrays=tuple(jnp.asarray(a) for a in plan.prefetch_arrays()),
-            kv_indices=jnp.asarray(padded_idx),
-            row_src=jnp.asarray(row_src),
-            row_valid=jnp.asarray(valid_row),
-            merge_out_row=jnp.asarray(plan.merge_out_row),
-            out_map=jnp.asarray(out_map),
+        meta = PlanMeta(
+            tile_q=plan.tile_q,
+            kv_chunk_size=plan.kv_chunk_size,
+            num_work_items=plan.num_work_items,
+            page_size=page_size,
+            gqa_group=plan.gqa_group,
             bucket_rows=bucket_rows,
             nnz=nnz,
             num_qo_heads=num_heads,
             num_kv_heads=1,
             head_dim_qk=head_dim_ckv + head_dim_kpe,
             head_dim_vo=head_dim_ckv,
-            page_size=page_size,
             causal=causal,
             sm_scale=sm_scale,
             window_left=-1,
             ragged=False,
+        )
+        device_plan = DevicePlan(
+            plan_arrays=tuple(jnp.asarray(a) for a in plan.prefetch_arrays()),
+            kv_indices=jnp.asarray(padded_idx),
+            row_src=jnp.asarray(row_src),
+            row_valid=jnp.asarray(valid_row),
+            merge_out_row=jnp.asarray(plan.merge_out_row),
+            out_map=jnp.asarray(out_map),
+            meta=meta,
+        )
+        self._state = PlanState(
+            plan=plan,
+            device_plan=device_plan,
             host=dict(
                 qo_indptr=qo_indptr,
                 kv_indptr=kv_indptr,

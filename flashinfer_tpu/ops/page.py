@@ -102,14 +102,13 @@ def _scatter_tokens(
     entry_ids: jax.Array,  # [nnz]
     valid: jax.Array,  # [nnz] bool
 ) -> jax.Array:
-    # Route invalid (padded) tokens to a scratch entry? Cheaper: clamp to
-    # page 0 entry 0 but use mode="drop" semantics via a guard write of the
-    # existing value. We instead mask by scattering original values back.
-    page_ids = jnp.where(valid, page_ids, 0)
-    entry_ids = jnp.where(valid, entry_ids, 0)
-    current = cache[page_ids, entry_ids]
-    payload = jnp.where(valid[:, None, None], tokens.astype(cache.dtype), current)
-    return cache.at[page_ids, entry_ids].set(payload)
+    # Invalid (padding) rows are routed out of bounds and dropped by the
+    # scatter — never write-back reads, which would clobber a genuine write
+    # when a valid token targets the same slot.
+    page_ids = jnp.where(valid, page_ids, cache.shape[0])
+    return cache.at[page_ids, entry_ids].set(
+        tokens.astype(cache.dtype), mode="drop"
+    )
 
 
 def append_paged_kv_cache(
@@ -184,13 +183,12 @@ def append_paged_mla_kv_cache(
     page_slot = positions // page_size
     entry_ids = positions % page_size
     page_ids = kv_indices[kv_indptr[batch_indices] + page_slot]
-    page_ids = jnp.where(valid, page_ids, 0)
-    entry_ids = jnp.where(valid, entry_ids, 0)
-
     def scatter(cache, tokens):
-        current = cache[page_ids, entry_ids]
-        payload = jnp.where(valid[:, None], tokens.astype(cache.dtype), current)
-        return cache.at[page_ids, entry_ids].set(payload)
+        # out-of-bounds routing for padding rows; dropped by the scatter
+        pids = jnp.where(valid, page_ids, cache.shape[0])
+        return cache.at[pids, entry_ids].set(
+            tokens.astype(cache.dtype), mode="drop"
+        )
 
     return scatter(ckv_cache, append_ckv), scatter(kpe_cache, append_kpe)
 

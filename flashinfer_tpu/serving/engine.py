@@ -1,0 +1,405 @@
+"""Continuous-batching LLM serving engine.
+
+The reference is a kernel library whose plan/run split exists *for* engines
+like vLLM/SGLang (SURVEY.md §0); this module is the engine side, built
+entirely on this framework's own components so the system is usable (and
+benchmarkable, BASELINE.md tokens/sec north star) end to end:
+
+  * native page pool (csrc/page_pool.cc)       — KV block allocation
+  * native planner (csrc/planner.cc)           — per-step work descriptors
+  * DevicePlan pytree (ops/attention/batch.py) — retrace-free jitted steps
+  * paged attention Pallas kernel + append op  — the device hot path
+  * sampling ops                               — token selection
+
+Jit strategy (the TPU analogue of the reference's CUDA-graph capture,
+decode.py:1413 CUDAGraphBatchDecodeWithPagedKVCacheWrapper): the decode step
+is compiled ONCE per (max_batch, bucket) because every dynamic value —
+tokens, positions, page tables, plan arrays — is a jit *argument* and every
+shape is a pure function of the plan's power-of-2 buckets. Host work per
+step is one native plan() + array uploads. KV caches are donated, so
+appends are in-place.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Any, Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from flashinfer_tpu.models.llama import LlamaConfig, llama_init_weights
+from flashinfer_tpu.ops.activation import silu_and_mul
+from flashinfer_tpu.ops.attention.batch import (
+    BatchDecodeWithPagedKVCacheWrapper,
+    BatchPrefillWithPagedKVCacheWrapper,
+    DevicePlan,
+    run_device_plan,
+)
+from flashinfer_tpu.ops.norm import rmsnorm
+from flashinfer_tpu.ops.page import append_paged_kv_cache
+from flashinfer_tpu.ops.rope import apply_rope_pos_ids
+from flashinfer_tpu.ops.sampling import top_k_top_p_sampling_from_probs, softmax
+from flashinfer_tpu.scheduler.native import PagePool
+from flashinfer_tpu.utils import TensorLayout, next_power_of_2, on_tpu
+
+__all__ = ["EngineConfig", "GenerationRequest", "LlamaServingEngine"]
+
+
+@dataclasses.dataclass
+class EngineConfig:
+    model: LlamaConfig
+    max_batch: int = 8
+    num_pages: int = 1024
+    page_size: int = 16
+    max_seq_len: int = 2048
+    top_k: int = 40
+    top_p: float = 0.9
+    temperature: float = 1.0
+    greedy: bool = False
+    eos_token: int = -1  # -1 = never stop on eos
+    interpret: Optional[bool] = None  # Pallas interpret (None = auto)
+
+
+@dataclasses.dataclass
+class GenerationRequest:
+    prompt: List[int]
+    max_new_tokens: int
+    # filled by the engine
+    request_id: int = -1
+    output: List[int] = dataclasses.field(default_factory=list)
+    done: bool = False
+    _seq: int = -1
+    _slot: int = -1
+
+
+class LlamaServingEngine:
+    """Single-chip continuous-batching engine for the Llama family."""
+
+    def __init__(
+        self,
+        config: EngineConfig,
+        params: Optional[Dict[str, jax.Array]] = None,
+        seed: int = 0,
+    ):
+        self.cfg = config
+        mc = config.model
+        self.params = params or llama_init_weights(jax.random.key(seed), mc)
+        self.pool = PagePool(config.num_pages, config.page_size)
+        self.key = jax.random.key(seed + 1)
+
+        # per-layer paged caches, NHD [L, pages, page_size, kvh, d]
+        shape = (
+            mc.num_layers,
+            config.num_pages,
+            config.page_size,
+            mc.num_kv_heads,
+            mc.head_dim,
+        )
+        self.k_cache = jnp.zeros(shape, mc.dtype)
+        self.v_cache = jnp.zeros(shape, mc.dtype)
+
+        self._slots: List[Optional[GenerationRequest]] = [None] * config.max_batch
+        self._pending: List[GenerationRequest] = []
+        self._next_id = 0
+        self._decode_wrapper = BatchDecodeWithPagedKVCacheWrapper(
+            kv_layout="NHD", backend="pallas"
+        )
+        self._prefill_wrapper = BatchPrefillWithPagedKVCacheWrapper(
+            kv_layout="NHD", backend="pallas"
+        )
+        self._interpret = (
+            config.interpret if config.interpret is not None else not on_tpu()
+        )
+        self._page_bucket = next_power_of_2(config.num_pages)
+        self.steps = 0
+        self.generated_tokens = 0
+
+    # ------------------------------------------------------------------ API
+
+    def add_request(self, prompt, max_new_tokens: int) -> GenerationRequest:
+        req = GenerationRequest(list(map(int, prompt)), max_new_tokens)
+        req.request_id = self._next_id
+        self._next_id += 1
+        self._pending.append(req)
+        return req
+
+    @property
+    def num_running(self) -> int:
+        return sum(s is not None for s in self._slots)
+
+    def has_work(self) -> bool:
+        return self.num_running > 0 or bool(self._pending)
+
+    def run_to_completion(self, max_steps: int = 100000) -> None:
+        for _ in range(max_steps):
+            if not self.has_work():
+                return
+            self.step()
+
+    # ----------------------------------------------------------------- step
+
+    def step(self) -> List[Tuple[int, int]]:
+        """Admit pending requests (prefill) then decode one token for every
+        running sequence. Returns [(request_id, token)] emitted this step."""
+        emitted: List[Tuple[int, int]] = []
+        self._admit(emitted)
+        if self.num_running:
+            emitted.extend(self._decode())
+        self.steps += 1
+        return emitted
+
+    # ------------------------------------------------------------ admission
+
+    def _admit(self, emitted: List[Tuple[int, int]]) -> None:
+        """Move pending requests into free slots; prefill them as one batch."""
+        admitted: List[GenerationRequest] = []
+        for slot in range(self.cfg.max_batch):
+            if not self._pending or self._slots[slot] is not None:
+                continue
+            req = self._pending[0]
+            need_pages = -(-len(req.prompt) // self.cfg.page_size)
+            if need_pages > self.pool.free_pages:
+                break
+            seq = self.pool.create()
+            ok = self.pool.extend(seq, len(req.prompt))
+            assert ok
+            req._seq, req._slot = seq, slot
+            self._slots[slot] = req
+            self._pending.pop(0)
+            admitted.append(req)
+        if admitted:
+            self._prefill(admitted, emitted)
+
+    def _batch_tables(self, reqs) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+        indptr, indices, last = self.pool.batch_export([r._seq for r in reqs])
+        padded = np.zeros(self._page_bucket, np.int32)
+        padded[: len(indices)] = indices
+        return indptr, padded, last
+
+    def _prefill(self, reqs: List[GenerationRequest], emitted) -> None:
+        mc = self.cfg.model
+        prompts = [r.prompt for r in reqs]
+        lens = np.asarray([len(p) for p in prompts])
+        nnz = int(lens.sum())
+        bucket = next_power_of_2(max(nnz, 8))
+        # pad with a dummy request (kv_len=0 -> planner drops it; its rows
+        # produce zero logits which we never read)
+        pad = bucket - nnz
+        qo_indptr = np.concatenate([[0], np.cumsum(lens), [bucket]])
+        indptr, indices, last = self._batch_tables(reqs)
+        indptr = np.concatenate([indptr, [indptr[-1]]])  # dummy: no pages
+        last = np.concatenate([last, [0]])
+
+        self._prefill_wrapper.plan(
+            qo_indptr, indptr, indices, last,
+            mc.num_qo_heads, mc.num_kv_heads, mc.head_dim, self.cfg.page_size,
+            causal=True, kv_chunk_size=self._kv_chunk(),
+        )
+        tokens = np.zeros(bucket, np.int64)
+        tokens[:nnz] = np.concatenate(prompts)
+        positions = np.zeros(bucket, np.int32)
+        batch_idx = np.zeros(bucket, np.int32)
+        off = 0
+        for i, p in enumerate(prompts):
+            positions[off : off + len(p)] = np.arange(len(p))
+            batch_idx[off : off + len(p)] = i
+            off += len(p)
+        valid = np.zeros(bucket, bool)
+        valid[:nnz] = True
+        # rows holding each request's LAST prompt token (for next-token logits)
+        last_rows = np.cumsum(lens) - 1
+
+        logits, self.k_cache, self.v_cache = _prefill_step(
+            self.params, mc, self.cfg.page_size,
+            self.k_cache, self.v_cache,
+            jnp.asarray(tokens), jnp.asarray(positions), jnp.asarray(batch_idx),
+            jnp.asarray(valid),
+            jnp.asarray(indices), jnp.asarray(indptr.astype(np.int32)),
+            jnp.asarray(last.astype(np.int32)),
+            self._prefill_wrapper.device_plan,
+            jnp.asarray(last_rows.astype(np.int32)),
+            interpret=self._interpret,
+        )
+        toks = self._sample(logits[: len(reqs)])
+        for r, t in zip(reqs, toks):
+            self._emit(r, int(t), emitted)
+
+    # --------------------------------------------------------------- decode
+
+    def _kv_chunk(self) -> int:
+        return min(2048, next_power_of_2(self.cfg.max_seq_len))
+
+    def _decode(self) -> List[Tuple[int, int]]:
+        mc, B = self.cfg.model, self.cfg.max_batch
+        reqs = [r for r in self._slots if r is not None]
+        # room for the token being appended this step
+        for r in reqs:
+            if not self.pool.extend(r._seq, self.pool.seq_len(r._seq) + 1):
+                raise RuntimeError("KV page pool exhausted")  # todo: preempt
+
+        indptr, indices, last = self._batch_tables(reqs)
+        # expand compact batch -> fixed B slots (inactive: kv_len 0)
+        full_indptr = np.zeros(B + 1, np.int32)
+        full_last = np.zeros(B, np.int32)
+        tokens = np.zeros(B, np.int64)
+        positions = np.zeros(B, np.int32)
+        valid = np.zeros(B, bool)
+        kv_lens = np.zeros(B, np.int64)
+        for i, r in enumerate(reqs):
+            s = r._slot
+            kv_lens[s] = self.pool.seq_len(r._seq)
+            full_last[s] = last[i]
+            cur = r.output[-1] if r.output else r.prompt[-1]
+            tokens[s] = cur
+            positions[s] = kv_lens[s] - 1
+            valid[s] = True
+        # rebuild a per-slot CSR (slot order, empty ranges for free slots)
+        counts = np.zeros(B, np.int64)
+        for i, r in enumerate(reqs):
+            counts[r._slot] = indptr[i + 1] - indptr[i]
+        full_indptr[1:] = np.cumsum(counts)
+        slot_indices = np.zeros(self._page_bucket, np.int32)
+        for i, r in enumerate(reqs):
+            s = r._slot
+            slot_indices[full_indptr[s] : full_indptr[s + 1]] = indices[
+                indptr[i] : indptr[i + 1]
+            ]
+
+        self._decode_wrapper.plan(
+            full_indptr, slot_indices, full_last,
+            mc.num_qo_heads, mc.num_kv_heads, mc.head_dim, self.cfg.page_size,
+            kv_len_arr=kv_lens, kv_chunk_size=self._kv_chunk(),
+            work_capacity=self._work_capacity(),
+        )
+        logits, self.k_cache, self.v_cache = _decode_step(
+            self.params, mc, self.cfg.page_size,
+            self.k_cache, self.v_cache,
+            jnp.asarray(tokens), jnp.asarray(positions), jnp.asarray(valid),
+            jnp.asarray(slot_indices), jnp.asarray(full_indptr),
+            jnp.asarray(full_last),
+            self._decode_wrapper.device_plan,
+            interpret=self._interpret,
+        )
+        toks = self._sample(logits)
+        out: List[Tuple[int, int]] = []
+        for r in reqs:
+            self._emit(r, int(toks[r._slot]), out)
+        return out
+
+    def _work_capacity(self) -> int:
+        """Fixed work-item capacity so the decode jit never re-traces as
+        sequences grow: B qo-tiles × max kv chunks per seq."""
+        chunks = -(-self.cfg.max_seq_len // self._kv_chunk())
+        return next_power_of_2(max(8, self.cfg.max_batch * chunks))
+
+    # -------------------------------------------------------------- helpers
+
+    def _sample(self, logits: jax.Array) -> np.ndarray:
+        if self.cfg.greedy:
+            return np.asarray(jnp.argmax(logits, axis=-1))
+        self.key, sub = jax.random.split(self.key)
+        probs = softmax(logits, temperature=self.cfg.temperature)
+        toks = top_k_top_p_sampling_from_probs(
+            probs, sub, self.cfg.top_k, self.cfg.top_p
+        )
+        return np.asarray(toks)
+
+    def _emit(self, req: GenerationRequest, token: int, out_list) -> None:
+        req.output.append(token)
+        self.generated_tokens += 1
+        out_list.append((req.request_id, token))
+        if (
+            len(req.output) >= req.max_new_tokens
+            or token == self.cfg.eos_token
+        ):
+            req.done = True
+            self.pool.release(req._seq)
+            self._slots[req._slot] = None
+
+
+# ---------------------------------------------------------------------------
+# jitted device steps (module-level so the compile cache is shared)
+
+
+def _layer_forward(params, mc, layer, x, positions, k_cache, v_cache,
+                   dplan, page_args, valid, interpret, prefill_batch_idx=None):
+    """One transformer layer over the paged cache. x: [rows, hidden]."""
+    rows = x.shape[0]
+    h, d = mc.hidden_size, mc.head_dim
+    hq, hkv = mc.num_qo_heads, mc.num_kv_heads
+    kv_indices, kv_indptr, kv_last = page_args
+
+    xn = rmsnorm(x, params["attn_norm"][layer], mc.rms_eps)
+    q = (xn @ params["wq"][layer]).reshape(rows, hq, d)
+    k = (xn @ params["wk"][layer]).reshape(rows, hkv, d)
+    v = (xn @ params["wv"][layer]).reshape(rows, hkv, d)
+    q, k = apply_rope_pos_ids(q, k, positions, rope_theta=mc.rope_theta)
+
+    batch_indices = (
+        prefill_batch_idx
+        if prefill_batch_idx is not None
+        else jnp.arange(rows, dtype=jnp.int32)
+    )
+    kc, vc = append_paged_kv_cache(
+        k, v, batch_indices, positions, (k_cache, v_cache),
+        kv_indices, kv_indptr, kv_last, kv_layout="NHD", valid=valid,
+    )
+    attn = run_device_plan(
+        dplan, q, kc, vc, kv_layout=TensorLayout.NHD, interpret=interpret,
+    )
+    x = x + (attn.reshape(rows, hq * d) @ params["wo"][layer]).astype(x.dtype)
+    xn = rmsnorm(x, params["mlp_norm"][layer], mc.rms_eps)
+    x = x + (silu_and_mul(xn @ params["w_gate_up"][layer])
+             @ params["w_down"][layer]).astype(x.dtype)
+    return x, kc, vc
+
+
+@functools.partial(
+    jax.jit,
+    static_argnums=(1, 2),
+    static_argnames=("interpret",),
+    donate_argnums=(3, 4),
+)
+def _decode_step(params, mc, page_size, k_cache, v_cache, tokens, positions,
+                 valid, kv_indices, kv_indptr, kv_last, dplan, *, interpret):
+    x = params["embedding"][tokens]
+    page_args = (kv_indices, kv_indptr, kv_last)
+    ks, vs = [], []
+    for layer in range(mc.num_layers):
+        x, kc, vc = _layer_forward(
+            params, mc, layer, x, positions, k_cache[layer], v_cache[layer],
+            dplan, page_args, valid, interpret,
+        )
+        ks.append(kc)
+        vs.append(vc)
+    x = rmsnorm(x, params["final_norm"], mc.rms_eps)
+    logits = (x @ params["lm_head"]).astype(jnp.float32)
+    return logits, jnp.stack(ks), jnp.stack(vs)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnums=(1, 2),
+    static_argnames=("interpret",),
+    donate_argnums=(3, 4),
+)
+def _prefill_step(params, mc, page_size, k_cache, v_cache, tokens, positions,
+                  batch_idx, valid, kv_indices, kv_indptr, kv_last, dplan,
+                  last_rows, *, interpret):
+    x = params["embedding"][tokens]
+    page_args = (kv_indices, kv_indptr, kv_last)
+    ks, vs = [], []
+    for layer in range(mc.num_layers):
+        x, kc, vc = _layer_forward(
+            params, mc, layer, x, positions, k_cache[layer], v_cache[layer],
+            dplan, page_args, valid, interpret, prefill_batch_idx=batch_idx,
+        )
+        ks.append(kc)
+        vs.append(vc)
+    x = rmsnorm(x, params["final_norm"], mc.rms_eps)
+    x_last = x[last_rows]  # [num_reqs_padded? no: len(last_rows)] rows
+    logits = (x_last @ params["lm_head"]).astype(jnp.float32)
+    return logits, jnp.stack(ks), jnp.stack(vs)
