@@ -132,6 +132,8 @@ def run_device_plan(
     variant: AttentionVariant = None,
     variant_params: Any = None,
     kv_layout: TensorLayout = TensorLayout.HND,
+    k_scale: float = 1.0,
+    v_scale: float = 1.0,
     return_lse: bool = False,
     interpret: Optional[bool] = None,
 ):
@@ -179,6 +181,16 @@ def run_device_plan(
         k = jnp.pad(k, ((0, pad), (0, 0), (0, 0)))
         v = jnp.pad(v, ((0, pad), (0, 0), (0, 0)))
 
+    # fp8 KV-cache: ship the bits in an int8 container; the kernel decodes
+    # with integer ops (pre-v6 TPUs have no hw fp8 — see ops/fp8.py).
+    kv_dequant = None
+    if k.dtype == jnp.float8_e4m3fn:
+        k = jax.lax.bitcast_convert_type(k, jnp.int8)
+        v = jax.lax.bitcast_convert_type(v, jnp.int8)
+        kv_dequant = "e4m3"
+    elif k.dtype == jnp.int8:
+        kv_dequant = "int8"
+
     partial_o, partial_lse = batch_paged_attention_run(
         packed,
         k,
@@ -188,6 +200,9 @@ def run_device_plan(
         plan_meta=plan_meta,
         causal=m.causal,
         sm_scale=m.sm_scale,
+        k_scale=k_scale,
+        v_scale=v_scale,
+        kv_dequant=kv_dequant,
         window_left=m.window_left,
         tile_k=tile_k,
         variant=variant,
@@ -432,18 +447,29 @@ class BatchAttention:
         q: jax.Array,
         kv_cache,
         *,
+        k_scale: float = 1.0,
+        v_scale: float = 1.0,
         return_lse: bool = False,
         interpret: Optional[bool] = None,
     ):
         """Execute the planned batch. q: [nnz_tokens, num_qo_heads, head_dim].
         kv_cache: paged cache ((k, v) or stacked; layout per wrapper) or, for
-        ragged wrappers, (k, v) with [total_kv, num_kv_heads, head_dim]."""
+        ragged wrappers, (k, v) with [total_kv, num_kv_heads, head_dim].
+        k_scale/v_scale: FP8 KV-cache dequant scales (reference
+        prefill.py/decode.py run(..., k_scale, v_scale)); folded into the
+        softmax scale / output — zero extra HBM traffic. Prefer page_size
+        >= 32 for fp8 caches (fp8 VMEM sublane tile is 32)."""
         st = self._state
         assert st is not None, "call plan() before run()"
         backend = self._resolve_backend()
         if backend == "reference" and interpret is None:
-            return self._run_reference(q, kv_cache, return_lse)
-        return self._run_pallas(q, kv_cache, return_lse, interpret)
+            return self._run_reference(
+                q, kv_cache, return_lse, k_scale=k_scale, v_scale=v_scale
+            )
+        return self._run_pallas(
+            q, kv_cache, return_lse, interpret, k_scale=k_scale,
+            v_scale=v_scale,
+        )
 
     def _split_cache(self, kv_cache):
         st = self._state
@@ -463,7 +489,8 @@ class BatchAttention:
                 k, v = kv_cache[:, 0], kv_cache[:, 1]
             return k, v  # [pages, page_size, kvh, d] (NHD path in kernel)
 
-    def _run_pallas(self, q, kv_cache, return_lse, interpret):
+    def _run_pallas(self, q, kv_cache, return_lse, interpret,
+                    k_scale=1.0, v_scale=1.0):
         st = self._state
         nnz = q.shape[0]
         assert nnz == st.nnz, f"q rows {nnz} != planned {st.nnz}"
@@ -477,14 +504,24 @@ class BatchAttention:
             variant=self._variant_resolved,
             variant_params=self._variant_params,
             kv_layout=self._layout,
+            k_scale=k_scale,
+            v_scale=v_scale,
             return_lse=return_lse,
             interpret=interpret,
         )
 
-    def _run_reference(self, q, kv_cache, return_lse):
+    def _run_reference(self, q, kv_cache, return_lse, k_scale=1.0,
+                       v_scale=1.0):
         """Concrete-value oracle path (CPU default): gathers each request's
         KV from pages and calls the dense oracle. Not jittable; used for
         tests and non-TPU fallback."""
+        if k_scale != 1.0 or v_scale != 1.0:
+            k, v = self._split_cache(kv_cache) if not self._state.ragged \
+                else kv_cache
+            kv_cache = (
+                (k.astype(jnp.float32) * k_scale).astype(q.dtype),
+                (v.astype(jnp.float32) * v_scale).astype(q.dtype),
+            )
         st = self._state
         h = st.host
         nnz, hq, d = q.shape

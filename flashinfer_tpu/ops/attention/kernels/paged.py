@@ -44,6 +44,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from flashinfer_tpu.ops.attention.variants import AttentionVariant, DefaultAttention
+from flashinfer_tpu.ops.fp8 import e4m3_bits_to_bf16
 from flashinfer_tpu.scheduler.plan import AttentionPlan
 from flashinfer_tpu.utils import TensorLayout, cdiv, default_interpret, round_up
 
@@ -100,6 +101,8 @@ def _paged_kernel(
     rebuild_params,
     variant: AttentionVariant,
     sm_scale: float,
+    v_scale: float,
+    kv_dequant: Optional[str],
     window_left: int,
     causal: bool,
     group: int,
@@ -250,6 +253,15 @@ def _paged_kernel(
             else:
                 k = k_buf[slot, h]
                 v = v_buf[slot, h]
+            if kv_dequant == "e4m3":
+                # fp8 cache shipped as int8 bits: pre-v6 TPUs have no hw
+                # fp8 and the float8 dtype path is ~8x slower than int8
+                # streaming; decode with integer ops (ops/fp8.py).
+                k = e4m3_bits_to_bf16(k).astype(q.dtype)
+                v = e4m3_bits_to_bf16(v).astype(q.dtype)
+            elif k.dtype != q.dtype:  # int8/other: plain upcast
+                k = k.astype(q.dtype)
+                v = v.astype(q.dtype)
 
             qf = q
             if variant.query_transform is not None:
@@ -258,6 +270,7 @@ def _paged_kernel(
                 qf, k, (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32,
             )
+            # k_scale folds into the softmax scale; v_scale into the output
             s = s * sm_scale
 
             mask = base_mask
@@ -296,6 +309,8 @@ def _paged_kernel(
         l = l_ref[:, :, :1]
         safe_l = jnp.where(l > 0, l, 1.0)
         out = acc_ref[:] / safe_l
+        if v_scale != 1.0:  # fp8 V dequant, folded to one multiply per output
+            out = out * v_scale
         m_safe = jnp.where(jnp.isneginf(m), 0.0, m)
         lse = jnp.where(l > 0, m_safe + jnp.log(safe_l), _NEG_INF)
         out_ref[0] = out.astype(out_ref.dtype)
@@ -312,6 +327,9 @@ def batch_paged_attention_run(
     plan_meta: AttentionPlan,
     causal: bool,
     sm_scale: float,
+    k_scale: float = 1.0,
+    v_scale: float = 1.0,
+    kv_dequant: Optional[str] = None,
     window_left: int = -1,
     tile_k: int = 512,
     variant: AttentionVariant = DefaultAttention,
@@ -389,7 +407,9 @@ def batch_paged_attention_run(
         num_variant_leaves=len(v_arrays),
         rebuild_params=rebuild,
         variant=variant,
-        sm_scale=sm_scale,
+        sm_scale=sm_scale * k_scale,  # fp8 K dequant folded into the scale
+        v_scale=v_scale,
+        kv_dequant=kv_dequant,
         window_left=window_left,
         causal=causal,
         group=group,
