@@ -1,0 +1,134 @@
+"""DeepSeek-MLA and Mixtral-MoE model families: paged decode step vs the
+dense oracle forward (greedy-token agreement and logits closeness)."""
+
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from flashinfer_tpu.models.deepseek import (
+    DeepSeekConfig,
+    deepseek_decode_step,
+    deepseek_forward_dense,
+    deepseek_init_weights,
+)
+from flashinfer_tpu.models.mixtral import (
+    MixtralConfig,
+    mixtral_decode_step,
+    mixtral_forward_dense,
+    mixtral_init_weights,
+)
+from flashinfer_tpu.ops.attention.mla import BatchMLAPagedAttentionWrapper
+from flashinfer_tpu.ops.attention.batch import BatchDecodeWithPagedKVCacheWrapper
+from flashinfer_tpu.ops.page import append_paged_kv_cache, append_paged_mla_kv_cache
+from flashinfer_tpu.scheduler.native import PagePool
+
+
+def _page_tables(pool, seqs):
+    indptr, indices, last = pool.batch_export(seqs)
+    return (
+        jnp.asarray(indices),
+        jnp.asarray(indptr.astype(np.int32)),
+        jnp.asarray(last.astype(np.int32)),
+    )
+
+
+def test_deepseek_decode_matches_dense():
+    cfg = DeepSeekConfig.tiny()
+    params = deepseek_init_weights(jax.random.key(0), cfg)
+    rng = np.random.default_rng(0)
+    B, S, PS = 2, 4, 4
+    prompts = rng.integers(0, cfg.vocab_size, (B, S))
+
+    # dense oracle over prompt + verify next-token logits at the last pos
+    logits_dense = deepseek_forward_dense(
+        params, jnp.asarray(prompts, jnp.int32), cfg)
+
+    # paged: prefill the (ckv, kpe) caches token by token via decode steps
+    pool = PagePool(num_pages=16, page_size=PS)
+    seqs = [pool.create() for _ in range(B)]
+    L = cfg.num_layers
+    ckv = jnp.zeros((L, 16, PS, cfg.head_dim_ckv), jnp.float32)
+    kpe = jnp.zeros((L, 16, PS, cfg.head_dim_kpe), jnp.float32)
+    sm_scale = 1.0 / math.sqrt(cfg.head_dim_qk_nope + cfg.head_dim_kpe)
+
+    logits = None
+    for t in range(S):
+        for s in seqs:
+            pool.extend(s, t + 1)
+        kv_indices, kv_indptr, kv_last = _page_tables(pool, seqs)
+        w = BatchMLAPagedAttentionWrapper(backend="pallas")
+        w.plan(
+            np.arange(B + 1), np.asarray(kv_indptr), np.asarray(kv_indices),
+            np.full(B, t + 1), cfg.num_heads, cfg.head_dim_ckv,
+            cfg.head_dim_kpe, PS, causal=False, sm_scale=sm_scale,
+        )
+        logits, ckv, kpe = deepseek_decode_step(
+            params, cfg, jnp.asarray(prompts[:, t], jnp.int32),
+            jnp.full((B,), t, jnp.int32), ckv, kpe,
+            kv_indices, kv_indptr, kv_last, w, interpret=True,
+        )
+
+    np.testing.assert_allclose(
+        np.asarray(logits), np.asarray(logits_dense[:, -1]),
+        rtol=2e-4, atol=2e-4,
+    )
+    assert np.array_equal(
+        np.argmax(np.asarray(logits), -1),
+        np.argmax(np.asarray(logits_dense[:, -1]), -1),
+    )
+
+
+def test_mixtral_decode_matches_dense():
+    cfg = MixtralConfig.tiny()
+    params = mixtral_init_weights(jax.random.key(1), cfg)
+    rng = np.random.default_rng(1)
+    B, S, PS = 2, 4, 4
+    prompts = rng.integers(0, cfg.vocab_size, (B, S))
+
+    logits_dense = mixtral_forward_dense(
+        params, jnp.asarray(prompts, jnp.int32), cfg)
+
+    pool = PagePool(num_pages=16, page_size=PS)
+    seqs = [pool.create() for _ in range(B)]
+    L = cfg.num_layers
+    kc = jnp.zeros((L, 16, PS, cfg.num_kv_heads, cfg.head_dim), jnp.float32)
+    vc = jnp.zeros_like(kc)
+
+    logits = None
+    for t in range(S):
+        for s in seqs:
+            pool.extend(s, t + 1)
+        kv_indices, kv_indptr, kv_last = _page_tables(pool, seqs)
+        w = BatchDecodeWithPagedKVCacheWrapper(kv_layout="NHD",
+                                               backend="pallas")
+        w.plan(
+            np.asarray(kv_indptr), np.asarray(kv_indices),
+            np.asarray(kv_last), cfg.num_qo_heads, cfg.num_kv_heads,
+            cfg.head_dim, PS,
+        )
+        logits, (kc, vc) = mixtral_decode_step(
+            params, cfg, jnp.asarray(prompts[:, t], jnp.int32),
+            jnp.full((B,), t, jnp.int32), (kc, vc),
+            kv_indices, kv_indptr, kv_last, w, interpret=True,
+        )
+
+    np.testing.assert_allclose(
+        np.asarray(logits), np.asarray(logits_dense[:, -1]),
+        rtol=2e-4, atol=2e-4,
+    )
+    assert np.array_equal(
+        np.argmax(np.asarray(logits), -1),
+        np.argmax(np.asarray(logits_dense[:, -1]), -1),
+    )
+
+
+def test_deepseek_dense_runs_bf16():
+    cfg = DeepSeekConfig.tiny(dtype=jnp.bfloat16)
+    params = deepseek_init_weights(jax.random.key(2), cfg)
+    logits = deepseek_forward_dense(
+        params, jnp.zeros((1, 4), jnp.int32), cfg)
+    assert logits.shape == (1, 4, cfg.vocab_size)
+    assert np.isfinite(np.asarray(logits)).all()
