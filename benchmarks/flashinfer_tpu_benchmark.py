@@ -20,9 +20,14 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import sys
 
 import numpy as np
+
+# allow running as `python benchmarks/flashinfer_tpu_benchmark.py` from a
+# source checkout without installing the package
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def bench_attention(args) -> dict:

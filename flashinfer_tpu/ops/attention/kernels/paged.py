@@ -52,9 +52,11 @@ __all__ = ["batch_paged_attention_run"]
 
 _NEG_INF = float("-inf")
 _LANES = 128
+_LOG2E = 1.4426950408889634  # log2(e)
+_LN2 = 0.6931471805599453
 
 # scalar-prefetch operand order (must match AttentionPlan.prefetch_arrays)
-_NUM_PLAN_ARRAYS = 10
+_NUM_PLAN_ARRAYS = 12
 (
     _REQ,
     _QO_TILE,
@@ -66,8 +68,10 @@ _NUM_PLAN_ARRAYS = 10
     _KV_PAGE_START,
     _NUM_SPLITS,
     _Q_POS_BASE,
+    _DMA_NEW,
+    _DMA_SLOT,
 ) = range(_NUM_PLAN_ARRAYS)
-_KV_INDICES = _NUM_PLAN_ARRAYS  # + kv_indices as the 11th prefetch operand
+_KV_INDICES = _NUM_PLAN_ARRAYS  # + kv_indices as the 13th prefetch operand
 
 
 def _variant_plumbing(variant_params):
@@ -110,7 +114,8 @@ def _paged_kernel(
     tile_k: int,
     page_size: int,
     nsub: int,
-    num_kv_heads: int,
+    num_kv_heads: int,  # kv heads in THIS call's group (h_blk)
+    head_offset: int,  # first global kv-head index of the group
     layout: TensorLayout,
     num_items: int,
     ragged: bool,
@@ -143,8 +148,14 @@ def _paged_kernel(
         remaining = kv_e - kv_s - sub_start
         return page0, sub_start, remaining
 
+    # VMEM KV buffers: HND caches use [h_blk, tile_k, d] (head axis is the
+    # slow HBM dim — head-group slices are free). Ragged/NHD caches keep the
+    # HBM layout [tile_k, kvh, d]: the head axis rides the sublane tiling in
+    # HBM, so sub-tile head slices can't be DMA'd — all heads ship in one
+    # full-width copy (head grouping disabled by choose_tiles).
     def start_dmas(wi, ji, slot):
         page0, sub_start, remaining = descriptors(wi, ji)
+        hsl = pl.ds(head_offset, num_kv_heads)  # this call's kv-head group
         if ragged:
             # contiguous KV: one DMA of tile_k rows from the global token
             # offset (page0 carries kv_indptr[r] + kv_start here)
@@ -164,19 +175,16 @@ def _paged_kernel(
             @pl.when(p * page_size < remaining)
             def _():
                 page_id = kv_indices_ref[page0 + sub_start // page_size + p]
+                psl = pl.ds(p * page_size, page_size)
                 if layout == TensorLayout.HND:
-                    # whole page, all heads: [kvh, page_size, d] contiguous
-                    k_dst = k_buf.at[slot, :, pl.ds(p * page_size, page_size), :]
-                    v_dst = v_buf.at[slot, :, pl.ds(p * page_size, page_size), :]
-                else:  # NHD: page is [page_size, kvh, d]
-                    k_dst = k_buf.at[slot, pl.ds(p * page_size, page_size), :, :]
-                    v_dst = v_buf.at[slot, pl.ds(p * page_size, page_size), :, :]
-                pltpu.make_async_copy(
-                    k_hbm.at[page_id], k_dst, sem_k.at[slot, p]
-                ).start()
-                pltpu.make_async_copy(
-                    v_hbm.at[page_id], v_dst, sem_v.at[slot, p]
-                ).start()
+                    # page head-group: [h_blk, page_size, d] contiguous
+                    k_src, k_dst = k_hbm.at[page_id, hsl], k_buf.at[slot, :, psl, :]
+                    v_src, v_dst = v_hbm.at[page_id, hsl], v_buf.at[slot, :, psl, :]
+                else:  # NHD page [page_size, kvh, d], full width
+                    k_src, k_dst = k_hbm.at[page_id], k_buf.at[slot, psl, :, :]
+                    v_src, v_dst = v_hbm.at[page_id], v_buf.at[slot, psl, :, :]
+                pltpu.make_async_copy(k_src, k_dst, sem_k.at[slot, p]).start()
+                pltpu.make_async_copy(v_src, v_dst, sem_v.at[slot, p]).start()
 
     def wait_dmas(wi, ji, slot):
         page0, sub_start, remaining = descriptors(wi, ji)
@@ -193,33 +201,54 @@ def _paged_kernel(
         for p in range(ppst):
             @pl.when(p * page_size < remaining)
             def _():
+                psl = pl.ds(p * page_size, page_size)
                 if layout == TensorLayout.HND:
-                    k_dst = k_buf.at[slot, :, pl.ds(p * page_size, page_size), :]
-                    v_dst = v_buf.at[slot, :, pl.ds(p * page_size, page_size), :]
+                    k_dst = k_buf.at[slot, :, psl, :]
+                    v_dst = v_buf.at[slot, :, psl, :]
                 else:
-                    k_dst = k_buf.at[slot, pl.ds(p * page_size, page_size), :, :]
-                    v_dst = v_buf.at[slot, pl.ds(p * page_size, page_size), :, :]
+                    k_dst = k_buf.at[slot, psl, :, :]
+                    v_dst = v_buf.at[slot, psl, :, :]
                 pltpu.make_async_copy(k_dst, k_dst, sem_k.at[slot, p]).wait()
                 pltpu.make_async_copy(v_dst, v_dst, sem_v.at[slot, p]).wait()
 
     # --- pipeline: warm up on the very first step, then prefetch next ---
-    @pl.when(flat == 0)
-    def _warmup():
-        start_dmas(w, j, 0)
+    if nsub == 1:
+        # kv-major dedup mode (kv_major_order): consecutive work items that
+        # share a KV range reuse the resident VMEM tile — the prefill HBM
+        # saving (KV is read once per request, not once per qo tile).
+        slot = plan_refs[_DMA_SLOT][w]
 
-    @pl.when(flat + 1 < total_steps)
-    def _prefetch_next():
-        nf = flat + 1
-        start_dmas(nf // nsub, nf % nsub, nf % 2)
+        @pl.when(flat == 0)
+        def _warmup():
+            start_dmas(w, j, slot)
+
+        @pl.when(flat + 1 < total_steps)
+        def _prefetch_next():
+            @pl.when(plan_refs[_DMA_NEW][w + 1] == 1)
+            def _():
+                start_dmas(w + 1, 0, plan_refs[_DMA_SLOT][w + 1])
+
+        @pl.when(plan_refs[_DMA_NEW][w] == 1)  # dma_new[0] is always 1
+        def _wait_fresh():
+            wait_dmas(w, j, slot)
+    else:
+        @pl.when(flat == 0)
+        def _warmup():
+            start_dmas(w, j, 0)
+
+        @pl.when(flat + 1 < total_steps)
+        def _prefetch_next():
+            nf = flat + 1
+            start_dmas(nf // nsub, nf % nsub, nf % 2)
+
+        slot = flat % 2
+        wait_dmas(w, j, slot)
 
     @pl.when(j == 0)
     def _init():
         acc_ref[:] = jnp.zeros_like(acc_ref)
         m_ref[:] = jnp.full_like(m_ref, _NEG_INF)
         l_ref[:] = jnp.zeros_like(l_ref)
-
-    slot = flat % 2
-    wait_dmas(w, j, slot)
 
     page0, sub_start, remaining = descriptors(w, j)
     valid_item = plan_refs[_REQ][w] >= 0
@@ -275,8 +304,8 @@ def _paged_kernel(
 
             mask = base_mask
             if variant.logits_transform is not None or variant.logits_mask is not None:
-                head_idx = h * group + (row % group if group > 1
-                                        else jnp.zeros_like(row))
+                head_idx = (head_offset + h) * group + (
+                    row % group if group > 1 else jnp.zeros_like(row))
                 if variant.logits_transform is not None:
                     s = variant.logits_transform(params, s, q_tok, kv_pos, head_idx)
                 if variant.logits_mask is not None:
@@ -284,14 +313,17 @@ def _paged_kernel(
                         mask, variant.logits_mask(params, q_tok, kv_pos, head_idx)
                     )
 
-            s = jnp.where(mask, s, _NEG_INF)
+            # online softmax in base 2: exp2 is the hardware-native
+            # transcendental (exp = exp2 * log2e folded into the logits);
+            # m/l state lives in the base-2 domain, converted at finalize
+            s = jnp.where(mask, s * _LOG2E, _NEG_INF)
             m_prev = m_ref[h]  # [tile_q, LANES]
             m_cur = jnp.max(s, axis=1, keepdims=True)
             m_new = jnp.maximum(m_prev, m_cur)
             m_safe = jnp.where(jnp.isneginf(m_new), 0.0, m_new)
-            p = jnp.exp(s - m_safe[:, :1])
+            p = jnp.exp2(s - m_safe[:, :1])
             p = jnp.where(mask, p, 0.0)
-            alpha = jnp.where(jnp.isneginf(m_prev), 0.0, jnp.exp(m_prev - m_safe))
+            alpha = jnp.where(jnp.isneginf(m_prev), 0.0, jnp.exp2(m_prev - m_safe))
             l_ref[h] = l_ref[h] * alpha + jnp.sum(p, axis=1, keepdims=True)
             m_ref[h] = m_new
             # rows of v beyond the valid kv range hold whatever the DMA left
@@ -312,9 +344,85 @@ def _paged_kernel(
         if v_scale != 1.0:  # fp8 V dequant, folded to one multiply per output
             out = out * v_scale
         m_safe = jnp.where(jnp.isneginf(m), 0.0, m)
-        lse = jnp.where(l > 0, m_safe + jnp.log(safe_l), _NEG_INF)
+        # m is in the base-2 domain; lse is natural-log by convention
+        lse = jnp.where(l > 0, m_safe * _LN2 + jnp.log(safe_l), _NEG_INF)
         out_ref[0] = out.astype(out_ref.dtype)
-        lse_ref[0] = jnp.broadcast_to(lse, lse_ref.shape[1:])
+        # compact lse layout [kvh, tile_q] (tile_q on lanes): 128x less HBM
+        # traffic than broadcasting across a lane dim
+        lse_ref[0] = lse[:, :, 0]
+
+
+_VMEM_BUDGET = 10 * 1024 * 1024
+
+
+def choose_tiles(
+    *,
+    num_kv_heads: int,
+    tile_q: int,
+    d_pad: int,
+    dv_pad: int,
+    kv_itemsize: int,
+    q_itemsize: int,
+    page_size: int,
+    kv_chunk_size: int,
+    head_sliceable: bool,
+    tile_k: Optional[int] = None,
+) -> Tuple[int, int]:
+    """Pick (h_blk, tile_k) under the VMEM budget.
+
+    The kernel holds double-buffered KV tiles + softmax state for h_blk kv
+    heads. HND caches (head axis is the slow HBM dim) can be processed in
+    head groups — each group streams only its own cache slice, no extra
+    traffic. Ragged/NHD caches cannot slice the head axis (it rides the
+    sublane tiling in HBM), so all heads stay resident and tile_k shrinks
+    instead. Shared with the wrapper's plan() so kv_chunk_size can be set to
+    the resident tile size (nsub==1 -> kv-major DMA dedup active).
+    """
+    tile_k = tile_k or kv_chunk_size
+    tile_k = min(tile_k, kv_chunk_size)
+    tile_k = max(tile_k - tile_k % page_size, page_size)
+
+    def vmem_bytes(h, tk):
+        kv_scr = 2 * tk * h * (d_pad + dv_pad) * kv_itemsize
+        state = h * tile_q * (dv_pad + 2 * _LANES) * 4
+        q_blk = 2 * h * tile_q * d_pad * q_itemsize
+        out_blk = 2 * h * tile_q * (dv_pad * q_itemsize + 4)
+        # Mosaic keeps the head-unrolled logits intermediates (s, p, masks)
+        # live across the unroll — ~3 f32 [tile_q, tile_k] temps per head
+        compute_tmp = 3 * h * tile_q * tk * 4
+        return kv_scr + state + q_blk + out_blk + compute_tmp
+
+    def best_h(tk):
+        h = num_kv_heads
+        if head_sliceable:
+            while h > 1 and (
+                vmem_bytes(h, tk) > _VMEM_BUDGET or num_kv_heads % h
+            ):
+                h -= 1
+        return h if vmem_bytes(h, tk) <= _VMEM_BUDGET else 0
+
+    # candidate tiles: halvings of tile_k that divide the chunk; prefer
+    # tk >= 512 (keeps split-partial/merge traffic low and DMAs large),
+    # minimize the number of head-group calls, tie-break on larger tk
+    cands = []
+    tk = tile_k
+    while True:
+        h = best_h(tk)
+        if h:
+            cands.append((tk, h))
+        if (tk <= page_size or tk % 2
+                or kv_chunk_size % (tk // 2)
+                or (tk // 2) % page_size):
+            break
+        tk //= 2
+    if not cands:
+        return num_kv_heads, tile_k  # let Mosaic report the OOM
+    preferred = [c for c in cands if c[0] >= min(512, tile_k)]
+    pool = preferred or cands
+    calls = min(num_kv_heads // h for _, h in pool)
+    pool = [c for c in pool if num_kv_heads // c[1] == calls]
+    tk, h = max(pool)
+    return h, tk
 
 
 def batch_paged_attention_run(
@@ -376,16 +484,69 @@ def batch_paged_attention_run(
     tile_q = plan_meta.tile_q
     group = plan_meta.gqa_group
     T = plan_meta.num_work_items
-    tile_k = min(tile_k, plan_meta.kv_chunk_size)
+    sm_scale = sm_scale * k_scale  # fp8 K dequant folds into the scale
+
+    h_blk, tile_k = choose_tiles(
+        num_kv_heads=num_kv_heads,
+        tile_q=tile_q,
+        d_pad=d_pad,
+        dv_pad=dv_pad,
+        kv_itemsize=k_cache.dtype.itemsize,
+        q_itemsize=q_packed.dtype.itemsize,
+        page_size=1 if ragged else page_size,
+        kv_chunk_size=plan_meta.kv_chunk_size,
+        head_sliceable=(not ragged and kv_layout == TensorLayout.HND),
+        tile_k=None,  # prefer the full chunk resident (nsub==1 -> dedup)
+    )
     if ragged:
         page_size = tile_k
-    else:
-        tile_k = max(tile_k - tile_k % page_size, page_size)
-    assert plan_meta.kv_chunk_size % tile_k == 0, (
-        f"kv_chunk_size {plan_meta.kv_chunk_size} must be a multiple of "
-        f"tile_k {tile_k}"
-    )
     nsub = plan_meta.kv_chunk_size // tile_k
+
+    if h_blk < num_kv_heads:
+        parts = []
+        for h0 in range(0, num_kv_heads, h_blk):
+            parts.append(
+                _run_head_group(
+                    q_packed[h0 : h0 + h_blk], k_cache, v_cache, kv_indices,
+                    plan_arrays, plan_meta=plan_meta, causal=causal,
+                    sm_scale=sm_scale, v_scale=v_scale,
+                    kv_dequant=kv_dequant, window_left=window_left,
+                    tile_k=tile_k, nsub=nsub, page_size=page_size,
+                    head_offset=h0, h_blk=h_blk, variant=variant,
+                    variant_params=variant_params, kv_layout=kv_layout,
+                    ragged=ragged, interpret=interpret, d_pad=d_pad,
+                    dv_pad=dv_pad,
+                )
+            )
+        partial_o = jnp.concatenate([p[0] for p in parts], axis=1)
+        partial_lse = jnp.concatenate([p[1] for p in parts], axis=1)
+        return partial_o, partial_lse
+
+    return _finish_run(
+        q_packed, k_cache, v_cache, kv_indices, plan_arrays,
+        plan_meta=plan_meta, causal=causal, sm_scale=sm_scale,
+        v_scale=v_scale, kv_dequant=kv_dequant, window_left=window_left,
+        tile_k=tile_k, nsub=nsub, page_size=page_size, head_offset=0,
+        h_blk=num_kv_heads, variant=variant, variant_params=variant_params,
+        kv_layout=kv_layout, ragged=ragged, interpret=interpret,
+        d_pad=d_pad, dv_pad=dv_pad,
+    )
+
+
+def _run_head_group(q_grp, k_cache, v_cache, kv_indices, plan_arrays, **kw):
+    return _finish_run(q_grp, k_cache, v_cache, kv_indices, plan_arrays, **kw)
+
+
+def _finish_run(
+    q_packed, k_cache, v_cache, kv_indices, plan_arrays, *,
+    plan_meta, causal, sm_scale, v_scale, kv_dequant, window_left, tile_k,
+    nsub, page_size, head_offset, h_blk, variant, variant_params, kv_layout,
+    ragged, interpret, d_pad, dv_pad,
+):
+    tile_q = plan_meta.tile_q
+    group = plan_meta.gqa_group
+    T = plan_meta.num_work_items
+    num_kv_heads = h_blk
 
     v_arrays, v_specs, rebuild = _variant_plumbing(variant_params)
 
@@ -407,7 +568,7 @@ def batch_paged_attention_run(
         num_variant_leaves=len(v_arrays),
         rebuild_params=rebuild,
         variant=variant,
-        sm_scale=sm_scale * k_scale,  # fp8 K dequant folded into the scale
+        sm_scale=sm_scale,
         v_scale=v_scale,
         kv_dequant=kv_dequant,
         window_left=window_left,
@@ -418,6 +579,7 @@ def batch_paged_attention_run(
         page_size=page_size,
         nsub=nsub,
         num_kv_heads=num_kv_heads,
+        head_offset=head_offset,
         layout=kv_layout,
         num_items=T,
         ragged=ragged,
@@ -440,7 +602,7 @@ def batch_paged_attention_run(
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(
-                (1, num_kv_heads, tile_q, _LANES), lambda w, j, *s: (w, 0, 0, 0),
+                (1, num_kv_heads, tile_q), lambda w, j, *s: (w, 0, 0),
                 memory_space=pltpu.VMEM,
             ),
         ],
@@ -464,7 +626,7 @@ def batch_paged_attention_run(
         grid_spec=grid_spec,
         out_shape=[
             jax.ShapeDtypeStruct((T, num_kv_heads, tile_q, dv_pad), q_packed.dtype),
-            jax.ShapeDtypeStruct((T, num_kv_heads, tile_q, _LANES), jnp.float32),
+            jax.ShapeDtypeStruct((T, num_kv_heads, tile_q), jnp.float32),
         ],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary", "arbitrary"),
@@ -478,4 +640,4 @@ def batch_paged_attention_run(
         interpret=interpret,
     )(*plan_arrays, kv_indices, q_packed, k_cache, v_cache, *v_arrays)
 
-    return partial_o, partial_lse[..., 0]
+    return partial_o, partial_lse

@@ -38,7 +38,11 @@ from flashinfer_tpu.ops.attention.batch import (
 )
 from flashinfer_tpu.ops.attention.reference import attention_reference
 from flashinfer_tpu.ops.attention.state import scatter_merge_states
-from flashinfer_tpu.scheduler.plan import AttentionPlan, plan_attention
+from flashinfer_tpu.scheduler.plan import (
+    AttentionPlan,
+    build_merge_src,
+    plan_attention,
+)
 from flashinfer_tpu.utils import default_interpret, next_power_of_2, on_tpu
 
 __all__ = ["BatchMLAPagedAttentionWrapper"]
@@ -46,9 +50,10 @@ __all__ = ["BatchMLAPagedAttentionWrapper"]
 _NEG_INF = float("-inf")
 _LANES = 128
 
-_NUM_PLAN = 10
+_NUM_PLAN = 12
 (_REQ, _QO_TILE, _KV_TILE, _QO_START, _QO_LEN, _KV_START, _KV_END,
- _KV_PAGE_START, _NUM_SPLITS, _Q_POS_BASE) = range(_NUM_PLAN)
+ _KV_PAGE_START, _NUM_SPLITS, _Q_POS_BASE, _DMA_NEW, _DMA_SLOT
+ ) = range(_NUM_PLAN)
 
 
 def _mla_kernel(
@@ -391,6 +396,9 @@ class BatchMLAPagedAttentionWrapper:
             row_valid=jnp.asarray(valid_row),
             merge_out_row=jnp.asarray(plan.merge_out_row),
             out_map=jnp.asarray(out_map),
+            merge_src=jnp.asarray(
+                build_merge_src(plan.merge_out_row, bucket_rows)
+            ),
             meta=meta,
         )
         self._state = PlanState(

@@ -33,7 +33,13 @@ import numpy as np
 
 from flashinfer_tpu.utils import cdiv, next_power_of_2, round_up
 
-__all__ = ["AttentionPlan", "plan_attention", "plan_prefill", "plan_decode"]
+__all__ = [
+    "AttentionPlan",
+    "plan_attention",
+    "plan_prefill",
+    "plan_decode",
+    "kv_major_order",
+]
 
 _MIN_WORK_CAPACITY = 8
 
@@ -77,8 +83,26 @@ class AttentionPlan:
     # --- convenience ---
     num_valid_items: int
 
+    # --- DMA dedup (kv-major prefill ordering; see kv_major_order) ---
+    # dma_new[w]=1 when item w covers a different KV range than item w-1;
+    # dma_slot[w] = double-buffer slot (consecutive distinct ranges
+    # alternate). Defaults (identity order): dma_new=1, dma_slot=w%2.
+    dma_new: Optional[np.ndarray] = None  # [T]
+    dma_slot: Optional[np.ndarray] = None  # [T]
+
     def prefetch_arrays(self) -> Tuple[np.ndarray, ...]:
         """Arrays handed to the kernel as scalar prefetch, fixed order."""
+        T = self.num_work_items
+        dma_new = (
+            self.dma_new
+            if self.dma_new is not None
+            else np.ones(T, np.int32)
+        )
+        dma_slot = (
+            self.dma_slot
+            if self.dma_slot is not None
+            else (np.arange(T) % 2).astype(np.int32)
+        )
         return (
             self.request_indices,
             self.qo_tile_indices,
@@ -90,6 +114,8 @@ class AttentionPlan:
             self.kv_page_start,
             self.num_kv_splits,
             self.q_pos_base,
+            dma_new,
+            dma_slot,
         )
 
 
@@ -312,6 +338,85 @@ def _plan_attention_numpy(
         gqa_group=gqa_group,
         merge_out_row=merge_out_row,
         num_valid_items=num_valid,
+    )
+
+
+def build_merge_src(
+    merge_out_row: np.ndarray, bucket_rows: int
+) -> np.ndarray:
+    """Invert the partial->row map into [bucket_rows, max_splits] gather
+    sources (flat partial-row indices, -1 padded; max_splits is a power of 2
+    so the jit key stays bucketed). Consumed by
+    ops.attention.state.gather_merge_states."""
+    p_idx = np.nonzero(merge_out_row >= 0)[0]
+    r = merge_out_row[p_idx]
+    order = np.argsort(r, kind="stable")
+    p_idx, r = p_idx[order], r[order]
+    counts = np.bincount(r, minlength=bucket_rows) if len(r) else \
+        np.zeros(bucket_rows, np.int64)
+    max_splits = max(int(counts.max()) if counts.size else 1, 1)
+    max_splits = int(next_power_of_2(max_splits))
+    starts = np.concatenate([[0], np.cumsum(counts)[:-1]])
+    slot = np.arange(len(p_idx)) - starts[r]
+    merge_src = np.full((bucket_rows, max_splits), -1, np.int32)
+    merge_src[r, slot] = p_idx
+    return merge_src
+
+
+def kv_major_order(plan: AttentionPlan) -> AttentionPlan:
+    """Reorder work items (request, KV-tile)-major so items sharing a KV
+    range are consecutive, and attach DMA-dedup arrays: the run kernel keeps
+    a KV tile resident in VMEM across all qo tiles that attend to it instead
+    of re-streaming it per tile (the dominant prefill HBM saving; the
+    reference gets the same reuse from its persistent-kernel qo-tile loop,
+    prefill.cuh:2416).
+
+    Backend-agnostic post-pass: applies identically to native and NumPy
+    planner output.
+    """
+    T = plan.num_work_items
+    n = plan.num_valid_items
+    req = plan.request_indices[:n]
+    kvt = plan.kv_tile_indices[:n]
+    qot = plan.qo_tile_indices[:n]
+    order = np.lexsort((qot, kvt, req))
+
+    def ro(a, fill):
+        out = np.full(T, fill, np.int32)
+        out[:n] = a[:n][order]
+        return out
+
+    new = dataclasses.replace(
+        plan,
+        request_indices=ro(plan.request_indices, -1),
+        qo_tile_indices=ro(plan.qo_tile_indices, 0),
+        kv_tile_indices=ro(plan.kv_tile_indices, 0),
+        qo_start_row=ro(plan.qo_start_row, 0),
+        qo_tile_len=ro(plan.qo_tile_len, 0),
+        kv_start=ro(plan.kv_start, 0),
+        kv_end=ro(plan.kv_end, 0),
+        kv_page_start=ro(plan.kv_page_start, 0),
+        num_kv_splits=ro(plan.num_kv_splits, 1),
+        q_pos_base=ro(plan.q_pos_base, 0),
+    )
+    # rebuild merge map for the new order
+    merge_out_row = np.full(T * plan.tile_q, -1, np.int32)
+    for w in range(n):
+        tl = new.qo_tile_len[w]
+        merge_out_row[w * plan.tile_q : w * plan.tile_q + tl] = (
+            new.qo_start_row[w] + np.arange(tl)
+        )
+    # dedup arrays: same (req, kv_tile) as previous item => reuse the buffer
+    dma_new = np.ones(T, np.int32)
+    if n > 1:
+        same = (new.request_indices[1:n] == new.request_indices[: n - 1]) & (
+            new.kv_tile_indices[1:n] == new.kv_tile_indices[: n - 1]
+        )
+        dma_new[1:n] = (~same).astype(np.int32)
+    seg = np.cumsum(dma_new) - 1
+    dma_slot = (seg % 2).astype(np.int32)
+    return dataclasses.replace(
+        new, merge_out_row=merge_out_row, dma_new=dma_new, dma_slot=dma_slot
     )
 
 
