@@ -189,6 +189,7 @@ def bench_serving(args) -> dict:
     cfg = EngineConfig(
         model=mc, max_batch=args.batch_size, num_pages=args.num_pages,
         page_size=args.page_size, max_seq_len=args.s_kv, greedy=True,
+        kv_dtype=args.kv_dtype,
     )
     eng = LlamaServingEngine(cfg, seed=0)
     rng = np.random.default_rng(0)
@@ -223,6 +224,7 @@ def main(argv=None) -> int:
         "gemm", "sampling", "serving",
     ])
     p.add_argument("--model", default="1b", choices=["tiny", "1b", "8b"])
+    p.add_argument("--kv-dtype", default="model", choices=["model", "fp8_e4m3"])
     p.add_argument("--num-pages", type=int, default=4096)
     p.add_argument("--batch-size", type=int, default=16)
     p.add_argument("--s-qo", type=int, default=128)

@@ -93,39 +93,97 @@ class PlanMeta:
     sm_scale: float
     window_left: int
     ragged: bool
+    kv_indices_len: int = 0
+    max_splits: int = 1
+
+    def blob_layout(self):
+        """(name, length, shape) segments of the consolidated int32 blob."""
+        T, tq = self.num_work_items, self.tile_q
+        rows = self.bucket_rows
+        segs = [("plan", 12 * T, (12, T))]
+        segs.append(("kv_indices", self.kv_indices_len, (self.kv_indices_len,)))
+        segs.append(("row_src", rows, (rows,)))
+        segs.append(("row_valid", rows, (rows,)))
+        segs.append(("merge_out_row", T * tq, (T * tq,)))
+        segs.append(("out_map", self.nnz * self.gqa_group,
+                     (self.nnz * self.gqa_group,)))
+        segs.append(("merge_src", rows * self.max_splits,
+                     (rows, self.max_splits)))
+        return segs
 
 
 @jax.tree_util.register_pytree_node_class
 @dataclasses.dataclass
 class DevicePlan:
-    """Dynamic half of a plan: device arrays, registered as a pytree so a
-    jitted serving step can take the whole plan as an argument — new plan,
-    same buckets => no retrace."""
+    """Dynamic half of a plan, registered as a pytree so a jitted serving
+    step can take the whole plan as an argument — new plan, same buckets =>
+    no retrace.
 
-    plan_arrays: Tuple[jax.Array, ...]
-    kv_indices: jax.Array
-    row_src: jax.Array
-    row_valid: jax.Array
-    merge_out_row: jax.Array
-    out_map: jax.Array
-    merge_src: jax.Array  # [bucket_rows, max_splits] gather-merge sources
+    All index arrays live in ONE consolidated int32 blob: plans are rebuilt
+    every scheduling step and per-array device_put latency dominates on
+    remote/tunneled devices (measured ~14 ms/step for 24 uploads); one
+    upload + in-jit slicing is ~free. Accessors slice lazily."""
+
+    blob: jax.Array  # [total] int32
     meta: PlanMeta
 
     def tree_flatten(self):
-        children = (
-            self.plan_arrays,
-            self.kv_indices,
-            self.row_src,
-            self.row_valid,
-            self.merge_out_row,
-            self.out_map,
-            self.merge_src,
-        )
-        return children, self.meta
+        return (self.blob,), self.meta
 
     @classmethod
     def tree_unflatten(cls, meta, children):
-        return cls(*children, meta=meta)
+        return cls(children[0], meta=meta)
+
+    @classmethod
+    def build(cls, meta: PlanMeta, arrays: dict) -> "DevicePlan":
+        """Assemble from host NumPy arrays (single H2D upload).
+
+        arrays keys: plan (tuple of 12 [T]), kv_indices, row_src,
+        row_valid (bool), merge_out_row, out_map, merge_src."""
+        parts = [np.asarray(a, np.int32).ravel() for a in arrays["plan"]]
+        for name, _, _ in meta.blob_layout()[1:]:
+            parts.append(np.asarray(arrays[name], np.int32).ravel())
+        blob = np.concatenate(parts) if parts else np.zeros(0, np.int32)
+        return cls(jnp.asarray(blob), meta=meta)
+
+    def _seg(self, name):
+        off = 0
+        for seg_name, length, shape in self.meta.blob_layout():
+            if seg_name == name:
+                return jax.lax.dynamic_slice_in_dim(
+                    self.blob, off, length
+                ).reshape(shape)
+            off += length
+        raise KeyError(name)
+
+    @property
+    def plan_arrays(self) -> Tuple[jax.Array, ...]:
+        p = self._seg("plan")
+        return tuple(p[i] for i in range(12))
+
+    @property
+    def kv_indices(self):
+        return self._seg("kv_indices")
+
+    @property
+    def row_src(self):
+        return self._seg("row_src")
+
+    @property
+    def row_valid(self):
+        return self._seg("row_valid") != 0
+
+    @property
+    def merge_out_row(self):
+        return self._seg("merge_out_row")
+
+    @property
+    def out_map(self):
+        return self._seg("out_map")
+
+    @property
+    def merge_src(self):
+        return self._seg("merge_src")
 
 
 def run_device_plan(
@@ -414,14 +472,13 @@ class BatchAttention:
         # merge map padded to T*tile_q already; destination rows are padded
         merge_out_row = plan.merge_out_row
 
-        # page table upload: pad to bucket, clamp values
+        # page table: pad to bucket (rides the consolidated plan blob)
         if self._ragged:
-            kv_idx_dev = jnp.zeros((1,), jnp.int32)
+            kv_idx_host = np.zeros(1, np.int32)
         else:
             cap = _bucket(max(len(kv_indices_np), 1))
-            padded_idx = np.zeros(cap, np.int32)
-            padded_idx[: len(kv_indices_np)] = kv_indices_np
-            kv_idx_dev = jnp.asarray(padded_idx)
+            kv_idx_host = np.zeros(cap, np.int32)
+            kv_idx_host[: len(kv_indices_np)] = kv_indices_np
 
         variant = self._variant or make_default_variant(
             logits_soft_cap=logits_soft_cap
@@ -429,6 +486,7 @@ class BatchAttention:
         self._variant_resolved = variant
         self._variant_params = variant_params
 
+        merge_src = build_merge_src(merge_out_row, bucket_rows)
         meta = PlanMeta(
             tile_q=plan.tile_q,
             kv_chunk_size=plan.kv_chunk_size,
@@ -445,16 +503,20 @@ class BatchAttention:
             sm_scale=sm_scale,
             window_left=window_left,
             ragged=self._ragged,
+            kv_indices_len=int(kv_idx_host.shape[0]),
+            max_splits=int(merge_src.shape[1]),
         )
-        device_plan = DevicePlan(
-            plan_arrays=tuple(jnp.asarray(a) for a in plan.prefetch_arrays()),
-            kv_indices=kv_idx_dev,
-            row_src=jnp.asarray(row_src),
-            row_valid=jnp.asarray(valid_row),
-            merge_out_row=jnp.asarray(merge_out_row),
-            out_map=jnp.asarray(out_map),
-            merge_src=jnp.asarray(build_merge_src(merge_out_row, bucket_rows)),
-            meta=meta,
+        device_plan = DevicePlan.build(
+            meta,
+            dict(
+                plan=plan.prefetch_arrays(),
+                kv_indices=kv_idx_host,
+                row_src=row_src,
+                row_valid=valid_row,
+                merge_out_row=merge_out_row,
+                out_map=out_map,
+                merge_src=merge_src,
+            ),
         )
         self._state = PlanState(
             plan=plan,

@@ -37,7 +37,7 @@ from flashinfer_tpu.ops.attention.batch import (
     round_up_np,
 )
 from flashinfer_tpu.ops.attention.reference import attention_reference
-from flashinfer_tpu.ops.attention.state import scatter_merge_states
+from flashinfer_tpu.ops.attention.state import gather_merge_states
 from flashinfer_tpu.scheduler.plan import (
     AttentionPlan,
     build_merge_src,
@@ -372,6 +372,7 @@ class BatchMLAPagedAttentionWrapper:
         cap = _bucket(max(len(kv_indices_np), 1))
         padded_idx = np.zeros(cap, np.int32)
         padded_idx[: len(kv_indices_np)] = kv_indices_np
+        merge_src = build_merge_src(plan.merge_out_row, bucket_rows)
         meta = PlanMeta(
             tile_q=plan.tile_q,
             kv_chunk_size=plan.kv_chunk_size,
@@ -388,18 +389,20 @@ class BatchMLAPagedAttentionWrapper:
             sm_scale=sm_scale,
             window_left=-1,
             ragged=False,
+            kv_indices_len=int(padded_idx.shape[0]),
+            max_splits=int(merge_src.shape[1]),
         )
-        device_plan = DevicePlan(
-            plan_arrays=tuple(jnp.asarray(a) for a in plan.prefetch_arrays()),
-            kv_indices=jnp.asarray(padded_idx),
-            row_src=jnp.asarray(row_src),
-            row_valid=jnp.asarray(valid_row),
-            merge_out_row=jnp.asarray(plan.merge_out_row),
-            out_map=jnp.asarray(out_map),
-            merge_src=jnp.asarray(
-                build_merge_src(plan.merge_out_row, bucket_rows)
+        device_plan = DevicePlan.build(
+            meta,
+            dict(
+                plan=plan.prefetch_arrays(),
+                kv_indices=padded_idx,
+                row_src=row_src,
+                row_valid=valid_row,
+                merge_out_row=plan.merge_out_row,
+                out_map=out_map,
+                merge_src=merge_src,
             ),
-            meta=meta,
         )
         self._state = PlanState(
             plan=plan,
@@ -451,10 +454,8 @@ class BatchMLAPagedAttentionWrapper:
             tile_k=self._tile_k, interpret=interpret,
         )
         T, tile_q, dv = partial_o.shape
-        pv = partial_o.reshape(T * tile_q, 1, dv)
-        ps = partial_lse.reshape(T * tile_q, 1)
-        merged_v, merged_s = scatter_merge_states(
-            pv, ps, st.merge_out_row, st.bucket_rows
+        merged_v, merged_s = gather_merge_states(
+            partial_o[:, None], partial_lse[:, None], st.merge_src, tile_q
         )
         out = jnp.take(merged_v[:, 0], st.out_map, axis=0).reshape(nnz, h, dv)
         if return_lse:

@@ -61,6 +61,11 @@ class EngineConfig:
     greedy: bool = False
     eos_token: int = -1  # -1 = never stop on eos
     interpret: Optional[bool] = None  # Pallas interpret (None = auto)
+    # KV-cache quantization (BASELINE.md north star: FP8 paged decode).
+    # "bf16"/"model" = model dtype; "fp8_e4m3" halves KV HBM footprint —
+    # the attention kernel dequantizes in-register (ops/fp8.py bit decode).
+    kv_dtype: str = "model"
+    kv_scale: float = 0.05  # static quant scale (amax/448-style, per model)
 
 
 @dataclasses.dataclass
@@ -98,8 +103,14 @@ class LlamaServingEngine:
             mc.num_kv_heads,
             mc.head_dim,
         )
-        self.k_cache = jnp.zeros(shape, mc.dtype)
-        self.v_cache = jnp.zeros(shape, mc.dtype)
+        if config.kv_dtype == "fp8_e4m3":
+            cache_dtype = jnp.float8_e4m3fn
+            self._kv_scale = float(config.kv_scale)
+        else:
+            cache_dtype = mc.dtype
+            self._kv_scale = 1.0
+        self.k_cache = jnp.zeros(shape, cache_dtype)
+        self.v_cache = jnp.zeros(shape, cache_dtype)
 
         self._slots: List[Optional[GenerationRequest]] = [None] * config.max_batch
         self._pending: List[GenerationRequest] = []
@@ -212,7 +223,8 @@ class LlamaServingEngine:
         # rows holding each request's LAST prompt token (for next-token logits)
         last_rows = np.cumsum(lens) - 1
 
-        logits, self.k_cache, self.v_cache = _prefill_step(
+        sub = self._next_key()
+        toks, self.k_cache, self.v_cache = _prefill_step(
             self.params, mc, self.cfg.page_size,
             self.k_cache, self.v_cache,
             jnp.asarray(tokens), jnp.asarray(positions), jnp.asarray(batch_idx),
@@ -221,9 +233,11 @@ class LlamaServingEngine:
             jnp.asarray(last.astype(np.int32)),
             self._prefill_wrapper.device_plan,
             jnp.asarray(last_rows.astype(np.int32)),
-            interpret=self._interpret,
+            sub, self._sample_args(),
+            interpret=self._interpret, greedy=self.cfg.greedy,
+            kv_scale=self._kv_scale,
         )
-        toks = self._sample(logits[: len(reqs)])
+        toks = np.asarray(toks)
         for r, t in zip(reqs, toks):
             self._emit(r, int(t), emitted)
 
@@ -274,16 +288,22 @@ class LlamaServingEngine:
             kv_len_arr=kv_lens, kv_chunk_size=self._kv_chunk(),
             work_capacity=self._work_capacity(),
         )
-        logits, self.k_cache, self.v_cache = _decode_step(
-            self.params, mc, self.cfg.page_size,
-            self.k_cache, self.v_cache,
-            jnp.asarray(tokens), jnp.asarray(positions), jnp.asarray(valid),
-            jnp.asarray(slot_indices), jnp.asarray(full_indptr),
-            jnp.asarray(full_last),
-            self._decode_wrapper.device_plan,
-            interpret=self._interpret,
+        # one consolidated H2D upload for all per-step host arrays
+        # (per-array device_put latency dominates on tunneled devices)
+        blob = np.concatenate([
+            tokens.astype(np.int32), positions.astype(np.int32),
+            valid.astype(np.int32), slot_indices.astype(np.int32),
+            full_indptr.astype(np.int32), full_last.astype(np.int32),
+        ])
+        sub = self._next_key()
+        toks, self.k_cache, self.v_cache = _decode_step(
+            self.params, mc, self.cfg.page_size, self._page_bucket,
+            self.k_cache, self.v_cache, jnp.asarray(blob),
+            self._decode_wrapper.device_plan, sub, self._sample_args(),
+            interpret=self._interpret, greedy=self.cfg.greedy,
+            kv_scale=self._kv_scale,
         )
-        toks = self._sample(logits)
+        toks = np.asarray(toks)
         out: List[Tuple[int, int]] = []
         for r in reqs:
             self._emit(r, int(toks[r._slot]), out)
@@ -297,15 +317,19 @@ class LlamaServingEngine:
 
     # -------------------------------------------------------------- helpers
 
-    def _sample(self, logits: jax.Array) -> np.ndarray:
+    def _next_key(self):
+        # greedy never consumes randomness; skip the per-step device split
         if self.cfg.greedy:
-            return np.asarray(jnp.argmax(logits, axis=-1))
+            return self.key
         self.key, sub = jax.random.split(self.key)
-        probs = softmax(logits, temperature=self.cfg.temperature)
-        toks = top_k_top_p_sampling_from_probs(
-            probs, sub, self.cfg.top_k, self.cfg.top_p
+        return sub
+
+    def _sample_args(self):
+        return (
+            jnp.float32(self.cfg.temperature),
+            jnp.int32(self.cfg.top_k),
+            jnp.float32(self.cfg.top_p),
         )
-        return np.asarray(toks)
 
     def _emit(self, req: GenerationRequest, token: int, out_list) -> None:
         req.output.append(token)
@@ -325,7 +349,8 @@ class LlamaServingEngine:
 
 
 def _layer_forward(params, mc, layer, x, positions, k_cache, v_cache,
-                   dplan, page_args, valid, interpret, prefill_batch_idx=None):
+                   dplan, page_args, valid, interpret, kv_scale=1.0,
+                   prefill_batch_idx=None):
     """One transformer layer over the paged cache. x: [rows, hidden]."""
     rows = x.shape[0]
     h, d = mc.hidden_size, mc.head_dim
@@ -343,12 +368,16 @@ def _layer_forward(params, mc, layer, x, positions, k_cache, v_cache,
         if prefill_batch_idx is not None
         else jnp.arange(rows, dtype=jnp.int32)
     )
+    if kv_scale != 1.0:  # fp8 KV: store quantized bits, dequant in-kernel
+        k = (k.astype(jnp.float32) / kv_scale).astype(k_cache.dtype)
+        v = (v.astype(jnp.float32) / kv_scale).astype(v_cache.dtype)
     kc, vc = append_paged_kv_cache(
         k, v, batch_indices, positions, (k_cache, v_cache),
         kv_indices, kv_indptr, kv_last, kv_layout="NHD", valid=valid,
     )
     attn = run_device_plan(
-        dplan, q, kc, vc, kv_layout=TensorLayout.NHD, interpret=interpret,
+        dplan, q, kc, vc, kv_layout=TensorLayout.NHD,
+        k_scale=kv_scale, v_scale=kv_scale, interpret=interpret,
     )
     x = x + (attn.reshape(rows, hq * d) @ params["wo"][layer]).astype(x.dtype)
     xn = rmsnorm(x, params["mlp_norm"][layer], mc.rms_eps)
@@ -359,47 +388,68 @@ def _layer_forward(params, mc, layer, x, positions, k_cache, v_cache,
 
 @functools.partial(
     jax.jit,
-    static_argnums=(1, 2),
-    static_argnames=("interpret",),
-    donate_argnums=(3, 4),
+    static_argnums=(1, 2, 3),
+    static_argnames=("interpret", "kv_scale", "greedy"),
+    donate_argnums=(4, 5),
 )
-def _decode_step(params, mc, page_size, k_cache, v_cache, tokens, positions,
-                 valid, kv_indices, kv_indptr, kv_last, dplan, *, interpret):
+def _decode_step(params, mc, page_size, page_bucket, k_cache, v_cache,
+                 blob, dplan, key, sample_args, *, interpret, greedy,
+                 kv_scale=1.0):
+    B = (blob.shape[0] - page_bucket - 1) // 5
+    tokens = blob[:B]
+    positions = blob[B : 2 * B]
+    valid = blob[2 * B : 3 * B] != 0
+    kv_indices = blob[3 * B : 3 * B + page_bucket]
+    kv_indptr = blob[3 * B + page_bucket : 4 * B + page_bucket + 1]
+    kv_last = blob[4 * B + page_bucket + 1 :]
     x = params["embedding"][tokens]
     page_args = (kv_indices, kv_indptr, kv_last)
     ks, vs = [], []
     for layer in range(mc.num_layers):
         x, kc, vc = _layer_forward(
             params, mc, layer, x, positions, k_cache[layer], v_cache[layer],
-            dplan, page_args, valid, interpret,
+            dplan, page_args, valid, interpret, kv_scale=kv_scale,
         )
         ks.append(kc)
         vs.append(vc)
     x = rmsnorm(x, params["final_norm"], mc.rms_eps)
     logits = (x @ params["lm_head"]).astype(jnp.float32)
-    return logits, jnp.stack(ks), jnp.stack(vs)
+    toks = _sample_tokens(logits, key, sample_args, greedy)
+    return toks, jnp.stack(ks), jnp.stack(vs)
+
+
+def _sample_tokens(logits, key, sample_args, greedy):
+    if greedy:
+        return jnp.argmax(logits, axis=-1).astype(jnp.int32)
+    temperature, top_k, top_p = sample_args
+    probs = softmax(logits, temperature=temperature)
+    return top_k_top_p_sampling_from_probs(probs, key, top_k, top_p).astype(
+        jnp.int32)
 
 
 @functools.partial(
     jax.jit,
     static_argnums=(1, 2),
-    static_argnames=("interpret",),
+    static_argnames=("interpret", "kv_scale", "greedy"),
     donate_argnums=(3, 4),
 )
 def _prefill_step(params, mc, page_size, k_cache, v_cache, tokens, positions,
                   batch_idx, valid, kv_indices, kv_indptr, kv_last, dplan,
-                  last_rows, *, interpret):
+                  last_rows, key, sample_args, *, interpret, greedy,
+                  kv_scale=1.0):
     x = params["embedding"][tokens]
     page_args = (kv_indices, kv_indptr, kv_last)
     ks, vs = [], []
     for layer in range(mc.num_layers):
         x, kc, vc = _layer_forward(
             params, mc, layer, x, positions, k_cache[layer], v_cache[layer],
-            dplan, page_args, valid, interpret, prefill_batch_idx=batch_idx,
+            dplan, page_args, valid, interpret, kv_scale=kv_scale,
+            prefill_batch_idx=batch_idx,
         )
         ks.append(kc)
         vs.append(vc)
     x = rmsnorm(x, params["final_norm"], mc.rms_eps)
-    x_last = x[last_rows]  # [num_reqs_padded? no: len(last_rows)] rows
+    x_last = x[last_rows]
     logits = (x_last @ params["lm_head"]).astype(jnp.float32)
-    return logits, jnp.stack(ks), jnp.stack(vs)
+    toks = _sample_tokens(logits, key, sample_args, greedy)
+    return toks, jnp.stack(ks), jnp.stack(vs)
