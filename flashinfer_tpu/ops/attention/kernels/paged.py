@@ -558,8 +558,8 @@ def _finish_run(
     in_specs = [
         pl.BlockSpec((num_kv_heads, tile_q, d_pad), q_index,
                      memory_space=pltpu.VMEM),
-        pl.BlockSpec(memory_space=pltpu.ANY),  # k_cache stays in HBM
-        pl.BlockSpec(memory_space=pltpu.ANY),  # v_cache stays in HBM
+        pl.BlockSpec(memory_space=pl.ANY),  # k_cache stays in HBM
+        pl.BlockSpec(memory_space=pl.ANY),  # v_cache stays in HBM
         *v_specs,
     ]
 

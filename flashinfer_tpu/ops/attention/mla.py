@@ -232,8 +232,8 @@ def _mla_paged_run(
             pl.BlockSpec((1, tile_q, d_pad),
                          lambda w, j, *s: (0, s[_QO_START][w] // tile_q, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.ANY),
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
         ],
         out_specs=[
             pl.BlockSpec((1, tile_q, d_ckv), lambda w, j, *s: (w, 0, 0),
