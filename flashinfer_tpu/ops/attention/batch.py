@@ -198,12 +198,17 @@ def run_device_plan(
     kv_layout: TensorLayout = TensorLayout.HND,
     k_scale: float = 1.0,
     v_scale: float = 1.0,
+    kv_indices_offset: int = 0,
     return_lse: bool = False,
     interpret: Optional[bool] = None,
 ):
     """Functional run stage: execute a DevicePlan. Fully traceable — every
     input is a jit argument; statics live in dplan.meta. This is what
-    serving engines jit (wrapper.run delegates here)."""
+    serving engines jit (wrapper.run delegates here).
+
+    kv_indices_offset: added to every page id — lets engines stack all
+    layers' pages in ONE cache array ([L*pages, ...]) and pass it unsliced
+    (slicing a donated cache per layer forces XLA to materialize copies)."""
     m = dplan.meta
     if variant is None:
         variant = make_default_variant()
@@ -255,11 +260,15 @@ def run_device_plan(
     elif k.dtype == jnp.int8:
         kv_dequant = "int8"
 
+    kv_idx = dplan.kv_indices
+    if kv_indices_offset:
+        kv_idx = kv_idx + kv_indices_offset
+
     partial_o, partial_lse = batch_paged_attention_run(
         packed,
         k,
         v,
-        dplan.kv_indices,
+        kv_idx,
         dplan.plan_arrays,
         plan_meta=plan_meta,
         causal=m.causal,

@@ -95,10 +95,12 @@ class LlamaServingEngine:
         self.pool = PagePool(config.num_pages, config.page_size)
         self.key = jax.random.key(seed + 1)
 
-        # per-layer paged caches, NHD [L, pages, page_size, kvh, d]
+        # all layers share ONE page id space: NHD [L*pages, ps, kvh, d]
+        # with layer l's copy of page p at row l*num_pages + p. The jitted
+        # step then never slices the (donated) cache per layer — slicing
+        # would force XLA to materialize per-layer copies.
         shape = (
-            mc.num_layers,
-            config.num_pages,
+            mc.num_layers * config.num_pages,
             config.page_size,
             mc.num_kv_heads,
             mc.head_dim,
@@ -325,11 +327,14 @@ class LlamaServingEngine:
         return sub
 
     def _sample_args(self):
-        return (
-            jnp.float32(self.cfg.temperature),
-            jnp.int32(self.cfg.top_k),
-            jnp.float32(self.cfg.top_p),
-        )
+        # cached: eager scalar converts cost a device round trip each
+        if not hasattr(self, "_sample_args_cached"):
+            self._sample_args_cached = (
+                jnp.float32(self.cfg.temperature),
+                jnp.int32(self.cfg.top_k),
+                jnp.float32(self.cfg.top_p),
+            )
+        return self._sample_args_cached
 
     def _emit(self, req: GenerationRequest, token: int, out_list) -> None:
         req.output.append(token)
@@ -348,14 +353,14 @@ class LlamaServingEngine:
 # jitted device steps (module-level so the compile cache is shared)
 
 
-def _layer_forward(params, mc, layer, x, positions, k_cache, v_cache,
-                   dplan, page_args, valid, interpret, kv_scale=1.0,
-                   prefill_batch_idx=None):
-    """One transformer layer over the paged cache. x: [rows, hidden]."""
+def _layer_forward(params, mc, layer, num_pages, x, positions, k_cache,
+                   v_cache, dplan, page_ids, entry_ids, valid, interpret,
+                   kv_scale=1.0):
+    """One transformer layer over the stacked-page-space cache.
+    x: [rows, hidden]; page_ids are LOCAL (layer offset applied here)."""
     rows = x.shape[0]
     h, d = mc.hidden_size, mc.head_dim
     hq, hkv = mc.num_qo_heads, mc.num_kv_heads
-    kv_indices, kv_indptr, kv_last = page_args
 
     xn = rmsnorm(x, params["attn_norm"][layer], mc.rms_eps)
     q = (xn @ params["wq"][layer]).reshape(rows, hq, d)
@@ -363,27 +368,25 @@ def _layer_forward(params, mc, layer, x, positions, k_cache, v_cache,
     v = (xn @ params["wv"][layer]).reshape(rows, hkv, d)
     q, k = apply_rope_pos_ids(q, k, positions, rope_theta=mc.rope_theta)
 
-    batch_indices = (
-        prefill_batch_idx
-        if prefill_batch_idx is not None
-        else jnp.arange(rows, dtype=jnp.int32)
-    )
     if kv_scale != 1.0:  # fp8 KV: store quantized bits, dequant in-kernel
         k = (k.astype(jnp.float32) / kv_scale).astype(k_cache.dtype)
         v = (v.astype(jnp.float32) / kv_scale).astype(v_cache.dtype)
-    kc, vc = append_paged_kv_cache(
-        k, v, batch_indices, positions, (k_cache, v_cache),
-        kv_indices, kv_indptr, kv_last, kv_layout="NHD", valid=valid,
-    )
+    # in-place scatter into the global page space (drop padding rows)
+    pids = jnp.where(valid, page_ids + layer * num_pages, k_cache.shape[0])
+    k_cache = k_cache.at[pids, entry_ids].set(
+        k.astype(k_cache.dtype), mode="drop")
+    v_cache = v_cache.at[pids, entry_ids].set(
+        v.astype(v_cache.dtype), mode="drop")
     attn = run_device_plan(
-        dplan, q, kc, vc, kv_layout=TensorLayout.NHD,
-        k_scale=kv_scale, v_scale=kv_scale, interpret=interpret,
+        dplan, q, k_cache, v_cache, kv_layout=TensorLayout.NHD,
+        k_scale=kv_scale, v_scale=kv_scale,
+        kv_indices_offset=layer * num_pages, interpret=interpret,
     )
     x = x + (attn.reshape(rows, hq * d) @ params["wo"][layer]).astype(x.dtype)
     xn = rmsnorm(x, params["mlp_norm"][layer], mc.rms_eps)
     x = x + (silu_and_mul(xn @ params["w_gate_up"][layer])
              @ params["w_down"][layer]).astype(x.dtype)
-    return x, kc, vc
+    return x, k_cache, v_cache
 
 
 @functools.partial(
@@ -403,19 +406,20 @@ def _decode_step(params, mc, page_size, page_bucket, k_cache, v_cache,
     kv_indptr = blob[3 * B + page_bucket : 4 * B + page_bucket + 1]
     kv_last = blob[4 * B + page_bucket + 1 :]
     x = params["embedding"][tokens]
-    page_args = (kv_indices, kv_indptr, kv_last)
-    ks, vs = [], []
+    B = tokens.shape[0]
+    num_pages = k_cache.shape[0] // mc.num_layers
+    page_slot = positions // page_size
+    page_ids = kv_indices[kv_indptr[jnp.arange(B, dtype=jnp.int32)] + page_slot]
+    entry_ids = positions % page_size
     for layer in range(mc.num_layers):
-        x, kc, vc = _layer_forward(
-            params, mc, layer, x, positions, k_cache[layer], v_cache[layer],
-            dplan, page_args, valid, interpret, kv_scale=kv_scale,
+        x, k_cache, v_cache = _layer_forward(
+            params, mc, layer, num_pages, x, positions, k_cache, v_cache,
+            dplan, page_ids, entry_ids, valid, interpret, kv_scale=kv_scale,
         )
-        ks.append(kc)
-        vs.append(vc)
     x = rmsnorm(x, params["final_norm"], mc.rms_eps)
     logits = (x @ params["lm_head"]).astype(jnp.float32)
     toks = _sample_tokens(logits, key, sample_args, greedy)
-    return toks, jnp.stack(ks), jnp.stack(vs)
+    return toks, k_cache, v_cache
 
 
 def _sample_tokens(logits, key, sample_args, greedy):
@@ -438,18 +442,17 @@ def _prefill_step(params, mc, page_size, k_cache, v_cache, tokens, positions,
                   last_rows, key, sample_args, *, interpret, greedy,
                   kv_scale=1.0):
     x = params["embedding"][tokens]
-    page_args = (kv_indices, kv_indptr, kv_last)
-    ks, vs = [], []
+    num_pages = k_cache.shape[0] // mc.num_layers
+    page_slot = positions // page_size
+    page_ids = kv_indices[kv_indptr[batch_idx] + page_slot]
+    entry_ids = positions % page_size
     for layer in range(mc.num_layers):
-        x, kc, vc = _layer_forward(
-            params, mc, layer, x, positions, k_cache[layer], v_cache[layer],
-            dplan, page_args, valid, interpret, kv_scale=kv_scale,
-            prefill_batch_idx=batch_idx,
+        x, k_cache, v_cache = _layer_forward(
+            params, mc, layer, num_pages, x, positions, k_cache, v_cache,
+            dplan, page_ids, entry_ids, valid, interpret, kv_scale=kv_scale,
         )
-        ks.append(kc)
-        vs.append(vc)
     x = rmsnorm(x, params["final_norm"], mc.rms_eps)
     x_last = x[last_rows]
     logits = (x_last @ params["lm_head"]).astype(jnp.float32)
     toks = _sample_tokens(logits, key, sample_args, greedy)
-    return toks, jnp.stack(ks), jnp.stack(vs)
+    return toks, k_cache, v_cache
