@@ -95,6 +95,7 @@ class PlanMeta:
     ragged: bool
     kv_indices_len: int = 0
     max_splits: int = 1
+    kv_major: bool = False
 
     def blob_layout(self):
         """(name, length, shape) segments of the consolidated int32 blob."""
@@ -235,6 +236,7 @@ def run_device_plan(
         gqa_group=m.gqa_group,
         merge_out_row=None,
         num_valid_items=0,
+        kv_major=m.kv_major,
     )
 
     q_r = (
@@ -514,6 +516,7 @@ class BatchAttention:
             ragged=self._ragged,
             kv_indices_len=int(kv_idx_host.shape[0]),
             max_splits=int(merge_src.shape[1]),
+            kv_major=plan.kv_major,
         )
         device_plan = DevicePlan.build(
             meta,

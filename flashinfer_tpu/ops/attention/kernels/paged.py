@@ -119,6 +119,7 @@ def _paged_kernel(
     layout: TensorLayout,
     num_items: int,
     ragged: bool,
+    kv_major: bool,
 ):
     # --- unpack refs ---
     idx = 0
@@ -212,7 +213,7 @@ def _paged_kernel(
                 pltpu.make_async_copy(v_dst, v_dst, sem_v.at[slot, p]).wait()
 
     # --- pipeline: warm up on the very first step, then prefetch next ---
-    if nsub == 1:
+    if kv_major and nsub == 1:
         # kv-major dedup mode (kv_major_order): consecutive work items that
         # share a KV range reuse the resident VMEM tile — the prefill HBM
         # saving (KV is read once per request, not once per qo tile).
@@ -583,6 +584,7 @@ def _finish_run(
         layout=kv_layout,
         num_items=T,
         ragged=ragged,
+        kv_major=plan_meta.kv_major,
     )
 
     if ragged or kv_layout == TensorLayout.NHD:

@@ -89,6 +89,7 @@ class AttentionPlan:
     # alternate). Defaults (identity order): dma_new=1, dma_slot=w%2.
     dma_new: Optional[np.ndarray] = None  # [T]
     dma_slot: Optional[np.ndarray] = None  # [T]
+    kv_major: bool = False  # items are (request, kv_tile)-major w/ dedup
 
     def prefetch_arrays(self) -> Tuple[np.ndarray, ...]:
         """Arrays handed to the kernel as scalar prefetch, fixed order."""
@@ -416,7 +417,8 @@ def kv_major_order(plan: AttentionPlan) -> AttentionPlan:
     seg = np.cumsum(dma_new) - 1
     dma_slot = (seg % 2).astype(np.int32)
     return dataclasses.replace(
-        new, merge_out_row=merge_out_row, dma_new=dma_new, dma_slot=dma_slot
+        new, merge_out_row=merge_out_row, dma_new=dma_new, dma_slot=dma_slot,
+        kv_major=True,
     )
 
 
