@@ -68,16 +68,17 @@ def _mla_kernel(
     num_items: int,
     d_ckv: int,
     d_kpe: int,
-    d_pad: int,
 ):
     idx = 0
     plan_refs = refs[idx : idx + _NUM_PLAN]; idx += _NUM_PLAN
     kv_indices_ref = refs[idx]; idx += 1
-    q_ref = refs[idx]; idx += 1
+    q_ckv_ref = refs[idx]; idx += 1
+    q_pe_ref = refs[idx]; idx += 1
     ckv_hbm = refs[idx]; idx += 1
     kpe_hbm = refs[idx]; idx += 1
     out_ref, lse_ref = refs[idx : idx + 2]; idx += 2
-    k_buf, sem_ckv, sem_kpe, acc_ref, m_ref, l_ref = refs[idx : idx + 6]
+    (ckv_buf, kpe_buf, sem_ckv, sem_kpe, acc_ref, m_ref,
+     l_ref) = refs[idx : idx + 7]
 
     w = pl.program_id(0)
     j = pl.program_id(1)
@@ -91,22 +92,21 @@ def _mla_kernel(
         page0 = plan_refs[_KV_PAGE_START][wi]
         return page0, ji * tile_k, kv_e - kv_s - ji * tile_k
 
+    # ckv and kpe keep separate VMEM buffers: a 64-lane kpe DMA into a lane
+    # slice of a combined buffer violates Mosaic's 128-lane slice tiling.
     def start_dmas(wi, ji, slot):
         page0, sub_start, remaining = descriptors(wi, ji)
         for p in range(ppst):
             @pl.when(p * page_size < remaining)
             def _():
                 page_id = kv_indices_ref[page0 + sub_start // page_size + p]
+                psl = pl.ds(p * page_size, page_size)
                 pltpu.make_async_copy(
-                    ckv_hbm.at[page_id],
-                    k_buf.at[slot, pl.ds(p * page_size, page_size),
-                             pl.ds(0, d_ckv)],
+                    ckv_hbm.at[page_id], ckv_buf.at[slot, psl, :],
                     sem_ckv.at[slot, p],
                 ).start()
                 pltpu.make_async_copy(
-                    kpe_hbm.at[page_id],
-                    k_buf.at[slot, pl.ds(p * page_size, page_size),
-                             pl.ds(d_ckv, d_kpe)],
+                    kpe_hbm.at[page_id], kpe_buf.at[slot, psl, :],
                     sem_kpe.at[slot, p],
                 ).start()
 
@@ -115,11 +115,10 @@ def _mla_kernel(
         for p in range(ppst):
             @pl.when(p * page_size < remaining)
             def _():
-                d1 = k_buf.at[slot, pl.ds(p * page_size, page_size),
-                              pl.ds(0, d_ckv)]
+                psl = pl.ds(p * page_size, page_size)
+                d1 = ckv_buf.at[slot, psl, :]
                 pltpu.make_async_copy(d1, d1, sem_ckv.at[slot, p]).wait()
-                d2 = k_buf.at[slot, pl.ds(p * page_size, page_size),
-                              pl.ds(d_ckv, d_kpe)]
+                d2 = kpe_buf.at[slot, psl, :]
                 pltpu.make_async_copy(d2, d2, sem_kpe.at[slot, p]).wait()
 
     @pl.when(flat == 0)
@@ -145,21 +144,19 @@ def _mla_kernel(
 
     @pl.when(jnp.logical_and(valid_item, remaining > 0))
     def _compute():
-        q = q_ref[0]  # [tile_q, d_pad]; zeros beyond d_ckv + d_kpe
-        k = k_buf[slot]  # [tile_k, d_pad]; lanes [576:] garbage (q is 0 there)
         col_valid = (
             jax.lax.broadcasted_iota(jnp.int32, (tile_k, 1), 0) < remaining
         )
-        # zero invalid rows AND the unwritten pad lanes [d_ckv+d_kpe:d_pad]:
-        # both hold whatever the DMA left behind (NaN in interpret mode) and
-        # 0 * NaN = NaN would poison the dots.
-        keep = col_valid
-        if d_pad != d_ckv + d_kpe:
-            lane = jax.lax.broadcasted_iota(jnp.int32, (tile_k, d_pad), 1)
-            keep = jnp.logical_and(col_valid, lane < d_ckv + d_kpe)
-        k = jnp.where(keep, k, 0)
+        # zero rows beyond the valid kv range: they hold whatever the DMA
+        # left behind (NaN in interpret mode) and 0*NaN would poison the dots
+        ckv = jnp.where(col_valid, ckv_buf[slot], 0)
+        kpe = jnp.where(col_valid, kpe_buf[slot], 0)
         s = jax.lax.dot_general(
-            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+            q_ckv_ref[0], ckv, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) + jax.lax.dot_general(
+            q_pe_ref[0], kpe, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
         )
         s = s * sm_scale
 
@@ -180,7 +177,7 @@ def _mla_kernel(
         alpha = jnp.where(jnp.isneginf(m_prev), 0.0, jnp.exp(m_prev - m_safe))
         l_ref[:] = l_ref[:] * alpha + jnp.sum(p, axis=1, keepdims=True)
         m_ref[:] = m_new
-        v = k[:, :d_ckv]  # V IS the compressed KV — zero extra HBM traffic
+        v = ckv  # V IS the compressed KV — zero extra HBM traffic
         pv = jax.lax.dot_general(
             p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
@@ -200,7 +197,8 @@ def _mla_kernel(
 
 
 def _mla_paged_run(
-    q_packed: jax.Array,  # [1, padded_rows, d_pad]
+    q_ckv_packed: jax.Array,  # [1, padded_rows, d_ckv]
+    q_pe_packed: jax.Array,  # [1, padded_rows, d_kpe]
     ckv_cache: jax.Array,  # [pages, page_size, d_ckv]
     kpe_cache: jax.Array,  # [pages, page_size, d_kpe]
     kv_indices: jax.Array,
@@ -214,7 +212,7 @@ def _mla_paged_run(
 ) -> Tuple[jax.Array, jax.Array]:
     if interpret is None:
         interpret = default_interpret()
-    _, padded_rows, d_pad = q_packed.shape
+    _, padded_rows, d_ckv_q = q_ckv_packed.shape
     page_size = ckv_cache.shape[1]
     d_ckv = ckv_cache.shape[2]
     d_kpe = kpe_cache.shape[2]
@@ -229,7 +227,10 @@ def _mla_paged_run(
         num_scalar_prefetch=_NUM_PLAN + 1,
         grid=(T, nsub),
         in_specs=[
-            pl.BlockSpec((1, tile_q, d_pad),
+            pl.BlockSpec((1, tile_q, d_ckv),
+                         lambda w, j, *s: (0, s[_QO_START][w] // tile_q, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tile_q, d_kpe),
                          lambda w, j, *s: (0, s[_QO_START][w] // tile_q, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pl.ANY),
@@ -242,7 +243,8 @@ def _mla_paged_run(
                          memory_space=pltpu.VMEM),
         ],
         scratch_shapes=[
-            pltpu.VMEM((2, tile_k, d_pad), ckv_cache.dtype),
+            pltpu.VMEM((2, tile_k, d_ckv), ckv_cache.dtype),
+            pltpu.VMEM((2, tile_k, d_kpe), kpe_cache.dtype),
             pltpu.SemaphoreType.DMA((2, tile_k // page_size)),
             pltpu.SemaphoreType.DMA((2, tile_k // page_size)),
             pltpu.VMEM((tile_q, d_ckv), jnp.float32),
@@ -262,13 +264,12 @@ def _mla_paged_run(
         num_items=T,
         d_ckv=d_ckv,
         d_kpe=d_kpe,
-        d_pad=d_pad,
     )
     partial_o, partial_lse = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
         out_shape=[
-            jax.ShapeDtypeStruct((T, tile_q, d_ckv), q_packed.dtype),
+            jax.ShapeDtypeStruct((T, tile_q, d_ckv), q_ckv_packed.dtype),
             jax.ShapeDtypeStruct((T, tile_q, _LANES), jnp.float32),
         ],
         compiler_params=pltpu.CompilerParams(
@@ -280,7 +281,7 @@ def _mla_paged_run(
             transcendentals=T * tile_q * plan_meta.kv_chunk_size,
         ),
         interpret=interpret,
-    )(*plan_arrays, kv_indices, q_packed, ckv_cache, kpe_cache)
+    )(*plan_arrays, kv_indices, q_ckv_packed, q_pe_packed, ckv_cache, kpe_cache)
     return partial_o, partial_lse[..., 0]
 
 
@@ -438,18 +439,26 @@ class BatchMLAPagedAttentionWrapper:
 
         nnz, h, d_ckv = q_nope.shape
         d_kpe = q_pe.shape[-1]
-        d_pad = -(-(d_ckv + d_kpe) // _LANES) * _LANES
-        q = jnp.concatenate(
-            [q_nope, q_pe,
-             jnp.zeros((nnz, h, d_pad - d_ckv - d_kpe), q_nope.dtype)],
-            axis=-1,
-        )
-        q_r = q.reshape(1, nnz * h, d_pad)  # kvh=1: rows are (token, head)
-        packed = jnp.take(q_r, st.row_src, axis=1)
-        packed = jnp.where(st.row_valid[None, :, None], packed, 0)
+        # Mosaic can only DMA full 128-lane tiles: pad the rope part (64
+        # lanes) to 128. Zero pad lanes contribute 0 to the dot. Callers can
+        # avoid the per-run pad copy by storing kpe 128-padded.
+        d_kpe_pad = -(-d_kpe // _LANES) * _LANES
+        if d_kpe_pad != d_kpe:
+            q_pe = jnp.pad(q_pe, ((0, 0), (0, 0), (0, d_kpe_pad - d_kpe)))
+            kpe_cache = jnp.pad(
+                kpe_cache, ((0, 0), (0, 0), (0, d_kpe_pad - d_kpe))
+            )
+            d_kpe = d_kpe_pad
+
+        def pack(arr, d):
+            # kvz=1: rows are (token, head) pairs
+            q_r = arr.reshape(1, nnz * h, d)
+            out = jnp.take(q_r, st.row_src, axis=1)
+            return jnp.where(st.row_valid[None, :, None], out, 0)
 
         partial_o, partial_lse = _mla_paged_run(
-            packed, ckv_cache, kpe_cache, st.kv_indices, st.plan_arrays,
+            pack(q_nope, d_ckv), pack(q_pe, d_kpe),
+            ckv_cache, kpe_cache, st.kv_indices, st.plan_arrays,
             plan_meta=st.plan, causal=st.causal, sm_scale=st.sm_scale,
             tile_k=self._tile_k, interpret=interpret,
         )
