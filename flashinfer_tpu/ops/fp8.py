@@ -21,7 +21,20 @@ __all__ = [
     "mxfp8_dequantize",
     "fp8_quantize_rowwise",
     "e4m3_bits_to_bf16",
+    "fp8_to_bf16",
 ]
+
+
+def fp8_to_bf16(x: "jax.Array") -> "jax.Array":
+    """Convert an fp8 array to bf16 the fast way on pre-v6 TPUs: e4m3 goes
+    through the int8-container bit decode (the float8 dtype convert is
+    software-emulated, ~8x slower); other dtypes use a plain astype."""
+    import jax
+    import jax.numpy as jnp
+
+    if x.dtype == jnp.float8_e4m3fn:
+        return e4m3_bits_to_bf16(jax.lax.bitcast_convert_type(x, jnp.int8))
+    return x.astype(jnp.bfloat16)
 
 
 def e4m3_bits_to_bf16(b_int8: "jax.Array") -> "jax.Array":

@@ -150,7 +150,9 @@ def fused_moe(
 
     def deq(w, s):
         if w.dtype in (jnp.float8_e4m3fn, jnp.float8_e5m2) or s is not None:
-            w = w.astype(jnp.bfloat16)
+            from flashinfer_tpu.ops.fp8 import fp8_to_bf16
+
+            w = fp8_to_bf16(w)
             if s is not None:
                 s = jnp.asarray(s, jnp.float32)
                 s = s.reshape(-1, 1, 1) if s.ndim <= 1 else s
