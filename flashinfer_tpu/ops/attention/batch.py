@@ -25,9 +25,8 @@ workspace-like kwargs for drop-in familiarity.
 from __future__ import annotations
 
 import dataclasses
-import functools
 import math
-from typing import Any, Optional, Sequence, Tuple, Union
+from typing import Any, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -40,7 +39,6 @@ from flashinfer_tpu.ops.attention.variants import (
     AttentionVariant,
     make_default_variant,
 )
-from flashinfer_tpu.ops.page import unpack_paged_kv_cache
 from flashinfer_tpu.scheduler.plan import (
     AttentionPlan,
     build_merge_src,
@@ -48,7 +46,6 @@ from flashinfer_tpu.scheduler.plan import (
 )
 from flashinfer_tpu.utils import (
     TensorLayout,
-    cdiv,
     check_kv_layout,
     next_power_of_2,
     on_tpu,

@@ -35,7 +35,6 @@ per-head slices inside VMEM are strided, so HND remains the fast path.
 from __future__ import annotations
 
 import functools
-import math
 from typing import Any, Optional, Tuple
 
 import jax
@@ -46,7 +45,7 @@ from jax.experimental.pallas import tpu as pltpu
 from flashinfer_tpu.ops.attention.variants import AttentionVariant, DefaultAttention
 from flashinfer_tpu.ops.fp8 import e4m3_bits_to_bf16
 from flashinfer_tpu.scheduler.plan import AttentionPlan
-from flashinfer_tpu.utils import TensorLayout, cdiv, default_interpret, round_up
+from flashinfer_tpu.utils import TensorLayout, default_interpret
 
 __all__ = ["batch_paged_attention_run"]
 

@@ -10,18 +10,19 @@ plus a 64-dim rope part (kpe): score = q_nope·ckv + q_pe·kpe, out = P·ckv.
 
 TPU-first design: this is a *perfect* fit for the GQA-packed paged kernel
 shape — one shared KV stream, all num_heads query heads packed into tile
-rows. The kernel streams each page ONCE (ckv 512 + kpe 64 per token, padded
-to 640 lanes), uses the same buffer as both K and V (V = lanes [0:512]), so
-HBM traffic per token is 576 elements — no separate V read at all. Split-KV
-partials merge through the shared scatter-merge path.
+rows. The kernel streams each page ONCE into separate ckv/kpe VMEM buffers
+(Mosaic only DMAs full 128-lane tiles, so the 64-lane kpe cannot ride a
+lane-slice of a combined buffer; kpe is 128-lane padded), computes
+score = q_ckv·ckv + q_pe·kpe as two MXU dots, and reuses the ckv buffer as
+V — per-token HBM traffic is ckv+kpe only, no separate V read. Split-KV
+partials merge through the shared gather-merge path.
 """
 
 from __future__ import annotations
 
-import dataclasses
 import functools
 import math
-from typing import Any, Optional, Tuple
+from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp

@@ -21,18 +21,13 @@ TPU re-design:
 
 from __future__ import annotations
 
-import functools
-import math
-from typing import Optional, Sequence, Tuple
+from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
-import numpy as np
-from jax.experimental import pallas as pl
-from jax.experimental.pallas import tpu as pltpu
 
 from flashinfer_tpu.ops.fp4 import fp4_dequantize
-from flashinfer_tpu.utils import cdiv, default_interpret, round_up
+from flashinfer_tpu.utils import cdiv
 
 __all__ = [
     "SegmentGEMMWrapper",

@@ -21,13 +21,10 @@ fusion boundary is explicit and testable.
 
 from __future__ import annotations
 
-import functools
-from typing import Optional, Tuple
+from typing import Tuple
 
 import jax
 import jax.numpy as jnp
-from jax.sharding import Mesh, PartitionSpec as P
-
 from flashinfer_tpu.ops.fp8 import fp8_quantize_rowwise
 from flashinfer_tpu.ops.norm import rmsnorm
 

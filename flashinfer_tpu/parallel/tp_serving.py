@@ -21,9 +21,7 @@ every device — the plan depends only on sequence lengths).
 
 from __future__ import annotations
 
-import dataclasses
-import functools
-from typing import Dict, Tuple
+from typing import Dict
 
 import jax
 import jax.numpy as jnp
@@ -31,7 +29,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from flashinfer_tpu.models.llama import LlamaConfig
 from flashinfer_tpu.ops.activation import silu_and_mul
-from flashinfer_tpu.ops.attention.batch import DevicePlan, run_device_plan
+from flashinfer_tpu.ops.attention.batch import run_device_plan
 from flashinfer_tpu.ops.norm import rmsnorm
 from flashinfer_tpu.ops.page import append_paged_kv_cache
 from flashinfer_tpu.ops.rope import apply_rope_pos_ids

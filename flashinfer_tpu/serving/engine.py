@@ -24,7 +24,7 @@ from __future__ import annotations
 
 import dataclasses
 import functools
-from typing import Any, Dict, List, Optional, Tuple
+from typing import Dict, List, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -35,11 +35,9 @@ from flashinfer_tpu.ops.activation import silu_and_mul
 from flashinfer_tpu.ops.attention.batch import (
     BatchDecodeWithPagedKVCacheWrapper,
     BatchPrefillWithPagedKVCacheWrapper,
-    DevicePlan,
     run_device_plan,
 )
 from flashinfer_tpu.ops.norm import rmsnorm
-from flashinfer_tpu.ops.page import append_paged_kv_cache
 from flashinfer_tpu.ops.rope import apply_rope_pos_ids
 from flashinfer_tpu.ops.sampling import top_k_top_p_sampling_from_probs, softmax
 from flashinfer_tpu.scheduler.native import PagePool
