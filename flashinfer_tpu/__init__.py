@@ -51,6 +51,18 @@ from flashinfer_tpu.utils import MaskMode, PosEncodingMode, TensorLayout
 
 from flashinfer_tpu.ops import activation, fp4, fp8, fused_moe, gemm, norm
 from flashinfer_tpu.ops import quantization, rope, sampling
+from flashinfer_tpu import (  # noqa: F401 — subsystem namespaces
+    aot,
+    autotuner,
+    jit,
+    logits_processor,
+    models,
+    parallel,
+    profiler,
+    scheduler,
+    serving,
+    testing,
+)
 from flashinfer_tpu.ops.activation import (
     gelu_and_mul,
     gelu_tanh_and_mul,

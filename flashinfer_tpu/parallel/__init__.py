@@ -1,9 +1,26 @@
+"""Distributed layer: topology math, mesh construction, collectives,
+ring/Ulysses attention, and TP serving (SURVEY.md §2.3)."""
+
+from flashinfer_tpu.parallel.collectives import (
+    MoeAlltoAll,
+    all_reduce,
+    allreduce_rmsnorm,
+    allreduce_rmsnorm_quant_fp8,
+    gemm_allreduce,
+    moe_allreduce_fusion,
+)
 from flashinfer_tpu.parallel.mapping import Mapping
 from flashinfer_tpu.parallel.mesh import (
     MeshContext,
     make_mesh,
     shard_kv_cache_spec,
     shard_model_specs,
+)
+from flashinfer_tpu.parallel.ring_attention import ring_attention, ulysses_attention
+from flashinfer_tpu.parallel.tp_serving import (
+    make_tp_decode_step,
+    shard_llama_params_tp,
+    tp_param_specs,
 )
 
 __all__ = [
@@ -12,4 +29,15 @@ __all__ = [
     "make_mesh",
     "shard_model_specs",
     "shard_kv_cache_spec",
+    "all_reduce",
+    "allreduce_rmsnorm",
+    "allreduce_rmsnorm_quant_fp8",
+    "gemm_allreduce",
+    "moe_allreduce_fusion",
+    "MoeAlltoAll",
+    "ring_attention",
+    "ulysses_attention",
+    "make_tp_decode_step",
+    "shard_llama_params_tp",
+    "tp_param_specs",
 ]

@@ -32,9 +32,30 @@ __all__ = [
     "all_reduce",
     "allreduce_rmsnorm",
     "allreduce_rmsnorm_quant_fp8",
+    "gemm_allreduce",
     "moe_allreduce_fusion",
     "MoeAlltoAll",
 ]
+
+
+def gemm_allreduce(
+    x: jax.Array,
+    w: jax.Array,
+    axis_name: str = "tp",
+    *,
+    out_dtype=None,
+) -> jax.Array:
+    """Row-parallel GEMM + allreduce in one fused region (reference
+    cute_dsl/gemm_allreduce_two_shot.py:103 PersistentDenseGemmKernel — a
+    persistent GEMM whose epilogue runs a two-shot allreduce). On TPU the
+    fusion is the jit region: XLA tiles the matmul and overlaps the psum's
+    ICI transfers with trailing MXU tiles. Call inside shard_map with x
+    [m, k_local], w [k_local, n]."""
+    acc = jax.lax.dot_general(
+        x, w, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    out = jax.lax.psum(acc, axis_name)
+    return out.astype(out_dtype or x.dtype)
 
 
 def all_reduce(x: jax.Array, axis_name: str = "tp") -> jax.Array:

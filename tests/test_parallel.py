@@ -186,3 +186,26 @@ def test_moe_alltoall_roundtrip():
                 x[t]
             )
     np.testing.assert_allclose(np.asarray(out), want, rtol=1e-4, atol=1e-4)
+
+
+def test_gemm_allreduce():
+    import jax
+    from jax.sharding import Mesh, PartitionSpec as P
+
+    from flashinfer_tpu.parallel.collectives import gemm_allreduce
+
+    mesh = Mesh(np.array(jax.devices()[:4]), ("tp",))
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.standard_normal((16, 64)), jnp.float32)
+    w = jnp.asarray(rng.standard_normal((64, 32)), jnp.float32)
+    want = np.asarray(x @ w, np.float32)
+
+    f = jax.shard_map(
+        lambda xs, ws: gemm_allreduce(xs, ws, "tp"),
+        mesh=mesh,
+        in_specs=(P(None, "tp"), P("tp", None)),
+        out_specs=P(),
+        check_vma=False,
+    )
+    got = np.asarray(f(x, w))
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
