@@ -166,21 +166,28 @@ def fused_moe(
     token_of = order // top_k
     x_sorted = hidden_states[token_of]  # [m*k, hidden]
 
+    # GEMM outputs in the input dtype: the MXU accumulates in f32 internally
+    # either way, and an f32 [m*k, 2*inter] intermediate would cost 2x HBM
+    # on the act pass for bf16 models (f32 inputs keep full precision)
+    cdt = hidden_states.dtype
     h1 = jax.lax.ragged_dot(
         x_sorted, jnp.swapaxes(w13, 1, 2), group_sizes,
-        preferred_element_type=jnp.float32,
+        preferred_element_type=cdt,
     )  # [m*k, 2*inter]
     act = silu_and_mul if gated_act == GatedActType.SwiGlu else gelu_and_mul
-    h1 = act(h1.astype(hidden_states.dtype))
+    h1 = act(h1)
     h2 = jax.lax.ragged_dot(
         h1, jnp.swapaxes(w2, 1, 2), group_sizes,
-        preferred_element_type=jnp.float32,
+        preferred_element_type=cdt,
     )  # [m*k, hidden]
 
-    # unpermute + combine
-    scales_sorted = expert_scales.reshape(-1)[order]
-    h2 = h2 * scales_sorted[:, None]
-    out = jnp.zeros((m, hidden), jnp.float32).at[token_of].add(h2)
+    # unpermute with an inverse-permutation GATHER (a scatter-add unpermute
+    # lowers to a slow sorted-scatter loop on TPU) + weighted top-k combine
+    inv = jnp.argsort(order)
+    h2_tok = h2[inv].reshape(m, top_k, hidden)
+    out = jnp.sum(
+        h2_tok.astype(jnp.float32) * expert_scales[:, :, None], axis=1
+    )
     return out.astype(out_dtype)
 
 
