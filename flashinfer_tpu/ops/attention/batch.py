@@ -198,6 +198,7 @@ def run_device_plan(
     v_scale: float = 1.0,
     kv_indices_offset: int = 0,
     return_lse: bool = False,
+    kv_dtype: Optional[str] = None,
     interpret: Optional[bool] = None,
 ):
     """Functional run stage: execute a DevicePlan. Fully traceable — every
@@ -249,15 +250,18 @@ def run_device_plan(
         k = jnp.pad(k, ((0, pad), (0, 0), (0, 0)))
         v = jnp.pad(v, ((0, pad), (0, 0), (0, 0)))
 
-    # fp8 KV-cache: ship the bits in an int8 container; the kernel decodes
-    # with integer ops (pre-v6 TPUs have no hw fp8 — see ops/fp8.py).
+    # fp8 KV-cache: the kernel wants the bits in an int8 container (pre-v6
+    # TPUs have no hw fp8 — see ops/fp8.py). Prefer storing the cache as
+    # int8 + kv_dtype="e4m3" end-to-end (the serving engine does): a
+    # float8-dtype cache costs a full bitcast COPY of the cache per call,
+    # which XLA cannot hoist across in-place cache updates.
     kv_dequant = None
     if k.dtype == jnp.float8_e4m3fn:
         k = jax.lax.bitcast_convert_type(k, jnp.int8)
         v = jax.lax.bitcast_convert_type(v, jnp.int8)
         kv_dequant = "e4m3"
     elif k.dtype == jnp.int8:
-        kv_dequant = "int8"
+        kv_dequant = "e4m3" if kv_dtype == "e4m3" else "int8"
 
     kv_idx = dplan.kv_indices
     if kv_indices_offset:

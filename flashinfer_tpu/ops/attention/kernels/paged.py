@@ -43,7 +43,6 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from flashinfer_tpu.ops.attention.variants import AttentionVariant, DefaultAttention
-from flashinfer_tpu.ops.fp8 import e4m3_bits_to_bf16
 from flashinfer_tpu.scheduler.plan import AttentionPlan
 from flashinfer_tpu.utils import TensorLayout, default_interpret
 
@@ -71,6 +70,61 @@ _NUM_PLAN_ARRAYS = 12
     _DMA_SLOT,
 ) = range(_NUM_PLAN_ARRAYS)
 _KV_INDICES = _NUM_PLAN_ARRAYS  # + kv_indices as the 13th prefetch operand
+
+
+# The packed e4m3 decode produces values scaled by 2^-120 (no exponent
+# rebias in the bit path). The kernel recovers true scale without touching
+# the big KV tiles: Q is pre-multiplied by 2^60 (so QK^T products stay in
+# f32 normal range) and sm_scale carries the other 2^60; on the V side the
+# softmax exp2 argument gets +60 (P becomes 2^60-scaled — free) and the
+# finalize folds 2^120 into v_scale. All fixups ride tiny [tile_q, *]
+# arrays or scalars; nothing per-KV-element.
+_E4M3_EXP_SHIFT = 60
+_E4M3_SHIFT_SCALE = 2.0**_E4M3_EXP_SHIFT
+
+
+def _e4m3_decode_rows(x8: jax.Array) -> Tuple[jax.Array, jax.Array]:
+    """Decode e4m3fn bits (int8 container) [rows, d] into two bf16 halves
+    ([rows/2, d] each) at 2^-120 scale: (even_rows, odd_rows). Treated as a
+    virtual concat along rows, output row r maps to input row 2r for
+    r < rows/2, else 2(r-rows/2)+1 — but the halves are returned separately
+    so the MXU consumes them directly (concatenating the small f32 logits is
+    ~16x cheaper than concatenating the bf16 KV tile).
+
+    This is the fast in-kernel path (vs ops/fp8.py e4m3_bits_to_bf16, which
+    widens every byte to int32 — 4x the VPU lanes). pltpu.bitcast packs 4
+    sublane bytes per int32 word (measured semantics on v5e: word s = rows
+    4s..4s+3, little-endian); byte pairs (b0,b2) and (b1,b3) are
+    masked/shifted into bf16 bit positions entirely in int32 (v5e has no
+    16-bit vector shifts/multiplies/compares): 9 int32 ops per 4 decoded
+    elements, ~2.25 VPU-lane-ops/element vs ~9 for the widening path.
+
+    No exponent rebias is added: e=0 bytes land on bf16 denormals, so zeros
+    decode exactly and e4m3 denormals either decode exactly or flush to
+    zero downstream (hardware FTZ) — error < 2^-9, far below e4m3
+    quantization noise. e4m3 NaN (never emitted by the library's
+    quantizers) decodes as a denormal-range value rather than 480.
+
+    Attention is invariant to a KV row permutation: K rows permute logits
+    columns, V rows permute in lockstep, and softmax reduces over that
+    axis. Only position-dependent masking needs the permuted coordinates —
+    see _permute_kv_offsets.
+    """
+    x = pltpu.bitcast(x8, jnp.int32)  # [rows/4, d]
+    em_e = (x << 4) & 0x07F007F0
+    out_e = ((x & 0x00800080) << 8) | em_e
+    em_o = jax.lax.shift_right_logical(x, 4) & 0x07F007F0
+    out_o = (x & jnp.int32(-0x7FFF8000)) | em_o  # signs already in place
+    even = pltpu.bitcast(out_e, jnp.bfloat16)  # input rows 0,2,4,...
+    odd = pltpu.bitcast(out_o, jnp.bfloat16)  # input rows 1,3,5,...
+    return even, odd
+
+
+def _permute_kv_offsets(col: jax.Array, tile_k: int) -> jax.Array:
+    """Map a within-tile kv index to the original row held at that position
+    after _e4m3_decode_rows' even/odd permutation."""
+    half = tile_k // 2
+    return jnp.where(col < half, 2 * col, 2 * (col - half) + 1)
 
 
 def _variant_plumbing(variant_params):
@@ -253,26 +307,44 @@ def _paged_kernel(
     page0, sub_start, remaining = descriptors(w, j)
     valid_item = plan_refs[_REQ][w] >= 0
 
-    @pl.when(jnp.logical_and(valid_item, remaining > 0))
-    def _compute():
+    def _body(masked: bool):
         params = rebuild_params([r[:] for r in variant_refs])
 
         # shared position/mask tiles (head-independent parts)
         qo_local0 = plan_refs[_QO_TILE][w] * tile_q
-        row = jax.lax.broadcasted_iota(jnp.int32, (tile_q, tile_k), 0)
-        col = jax.lax.broadcasted_iota(jnp.int32, (tile_q, tile_k), 1)
-        q_tok = plan_refs[_Q_POS_BASE][w] + (qo_local0 + row) // group
-        kv_pos = plan_refs[_KV_START][w] + sub_start + col
-        base_mask = col < remaining
-        if causal:
-            base_mask = jnp.logical_and(base_mask, kv_pos <= q_tok)
-        if window_left >= 0:
-            base_mask = jnp.logical_and(
-                base_mask, kv_pos > q_tok - window_left - 1
-            )
-        col_valid = (
-            jax.lax.broadcasted_iota(jnp.int32, (tile_k, 1), 0) < remaining
+        need_pos = masked or (
+            variant.logits_transform is not None
+            or variant.logits_mask is not None
         )
+        if need_pos:
+            row = jax.lax.broadcasted_iota(jnp.int32, (tile_q, tile_k), 0)
+            col = jax.lax.broadcasted_iota(jnp.int32, (tile_q, tile_k), 1)
+            if kv_dequant == "e4m3":
+                # packed decode permutes KV rows; positions/masks must use
+                # permuted coordinates
+                col = _permute_kv_offsets(col, tile_k)
+            q_tok = plan_refs[_Q_POS_BASE][w] + (qo_local0 + row) // group
+            kv_pos = plan_refs[_KV_START][w] + sub_start + col
+        if masked:
+            vrow = jax.lax.broadcasted_iota(jnp.int32, (tile_k, 1), 0)
+            if kv_dequant == "e4m3":
+                vrow = _permute_kv_offsets(vrow, tile_k)
+            base_mask = col < remaining
+            if causal:
+                base_mask = jnp.logical_and(base_mask, kv_pos <= q_tok)
+            if window_left >= 0:
+                base_mask = jnp.logical_and(
+                    base_mask, kv_pos > q_tok - window_left - 1
+                )
+            col_valid = vrow < remaining
+
+        # exp = exp2 with log2(e) folded into the logits; when no
+        # logits_transform hook needs natural-scale logits, fold log2(e)
+        # straight into sm_scale (one fewer pass over [tile_q, tile_k])
+        fold_log2e = variant.logits_transform is None
+        s_scale = sm_scale * _LOG2E if fold_log2e else sm_scale
+        fp8 = kv_dequant == "e4m3"
+        half = tile_k // 2
 
         for h in range(num_kv_heads):  # static unroll over kv heads
             q = q_ref[h]  # [tile_q, d]
@@ -282,12 +354,14 @@ def _paged_kernel(
             else:
                 k = k_buf[slot, h]
                 v = v_buf[slot, h]
-            if kv_dequant == "e4m3":
+            if fp8:
                 # fp8 cache shipped as int8 bits: pre-v6 TPUs have no hw
-                # fp8 and the float8 dtype path is ~8x slower than int8
-                # streaming; decode with integer ops (ops/fp8.py).
-                k = e4m3_bits_to_bf16(k).astype(q.dtype)
-                v = e4m3_bits_to_bf16(v).astype(q.dtype)
+                # fp8; packed bit decode into two row-halves at 2^-120
+                # scale (masks above are in permuted coordinates; scale is
+                # recovered via Q/sm_scale/exp2-offset folds — see
+                # _e4m3_decode_rows)
+                ke, ko = _e4m3_decode_rows(k)
+                ve, vo = _e4m3_decode_rows(v)
             elif k.dtype != q.dtype:  # int8/other: plain upcast
                 k = k.astype(q.dtype)
                 v = v.astype(q.dtype)
@@ -295,50 +369,127 @@ def _paged_kernel(
             qf = q
             if variant.query_transform is not None:
                 qf = variant.query_transform(params, qf.astype(jnp.float32))
-            s = jax.lax.dot_general(
-                qf, k, (((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )
+            if fp8:
+                # 2^60 on the q tile (tiny) keeps QK products in f32 normal
+                # range; sm_scale carries the other 2^60
+                qf = (qf * qf.dtype.type(_E4M3_SHIFT_SCALE)).astype(ke.dtype)
+                dn = (((1,), (1,)), ((), ()))
+                s = jnp.concatenate(
+                    [
+                        jax.lax.dot_general(
+                            qf, ke, dn, preferred_element_type=jnp.float32
+                        ),
+                        jax.lax.dot_general(
+                            qf, ko, dn, preferred_element_type=jnp.float32
+                        ),
+                    ],
+                    axis=1,
+                )
+            else:
+                s = jax.lax.dot_general(
+                    qf, k, (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
             # k_scale folds into the softmax scale; v_scale into the output
-            s = s * sm_scale
+            s = s * s_scale
 
-            mask = base_mask
             if variant.logits_transform is not None or variant.logits_mask is not None:
                 head_idx = (head_offset + h) * group + (
                     row % group if group > 1 else jnp.zeros_like(row))
                 if variant.logits_transform is not None:
                     s = variant.logits_transform(params, s, q_tok, kv_pos, head_idx)
                 if variant.logits_mask is not None:
+                    assert masked, "variant mask forces the masked body"
+            if masked:
+                mask = base_mask
+                if variant.logits_mask is not None:
                     mask = jnp.logical_and(
                         mask, variant.logits_mask(params, q_tok, kv_pos, head_idx)
                     )
 
             # online softmax in base 2: exp2 is the hardware-native
-            # transcendental (exp = exp2 * log2e folded into the logits);
-            # m/l state lives in the base-2 domain, converted at finalize
-            s = jnp.where(mask, s * _LOG2E, _NEG_INF)
+            # transcendental; m/l state lives in the base-2 domain,
+            # converted at finalize
+            if masked:
+                s = jnp.where(mask, s if fold_log2e else s * _LOG2E, _NEG_INF)
+            elif not fold_log2e:
+                s = s * _LOG2E
             m_prev = m_ref[h]  # [tile_q, LANES]
             m_cur = jnp.max(s, axis=1, keepdims=True)
             m_new = jnp.maximum(m_prev, m_cur)
             m_safe = jnp.where(jnp.isneginf(m_new), 0.0, m_new)
-            p = jnp.exp2(s - m_safe[:, :1])
-            p = jnp.where(mask, p, 0.0)
+            if fp8:
+                # +60 on the exp2 argument makes P 2^60-scaled for free, so
+                # P @ V(2^-120) accumulates at 2^-60 — safely in f32 normal
+                # range; finalize rescales l by 2^-60 and v_scale carries
+                # the last 2^60
+                p = jnp.exp2(s - (m_safe[:, :1] - _E4M3_EXP_SHIFT))
+            else:
+                p = jnp.exp2(s - m_safe[:, :1])
+            if masked:
+                p = jnp.where(mask, p, 0.0)
             alpha = jnp.where(jnp.isneginf(m_prev), 0.0, jnp.exp2(m_prev - m_safe))
             l_ref[h] = l_ref[h] * alpha + jnp.sum(p, axis=1, keepdims=True)
             m_ref[h] = m_new
             # rows of v beyond the valid kv range hold whatever the DMA left
             # behind (NaN in interpret mode); 0 * NaN = NaN, so zero them.
-            v_safe = jnp.where(col_valid, v, 0)
-            pv = jax.lax.dot_general(
-                p.astype(v.dtype), v_safe, (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )
+            # Interior tiles (masked=False) have remaining >= tile_k, so
+            # every row is real data.
+            if fp8:
+                pb = p.astype(ve.dtype)
+                dn0 = (((1,), (0,)), ((), ()))
+                ve_s = jnp.where(col_valid[:half], ve, 0) if masked else ve
+                vo_s = jnp.where(col_valid[half:], vo, 0) if masked else vo
+                pv = jax.lax.dot_general(
+                    pb[:, :half], ve_s, dn0,
+                    preferred_element_type=jnp.float32,
+                ) + jax.lax.dot_general(
+                    pb[:, half:], vo_s, dn0,
+                    preferred_element_type=jnp.float32,
+                )
+            else:
+                v_safe = jnp.where(col_valid, v, 0) if masked else v
+                pv = jax.lax.dot_general(
+                    p.astype(v.dtype), v_safe, (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
             acc_ref[h] = acc_ref[h] * alpha[:, :1] + pv
+
+    # dispatch: interior tiles (fully valid, causality can't bite) skip the
+    # whole mask pipeline — the TPU analogue of the reference's
+    # mask-free-interior-tile specialization (prefill.cuh hot loop)
+    active = jnp.logical_and(valid_item, remaining > 0)
+    can_skip_mask = window_left < 0 and variant.logits_mask is None
+    if can_skip_mask:
+        interior = remaining >= tile_k
+        if causal:
+            min_q_tok = plan_refs[_Q_POS_BASE][w] + (
+                plan_refs[_QO_TILE][w] * tile_q
+            ) // group
+            max_kv_pos = plan_refs[_KV_START][w] + sub_start + tile_k - 1
+            interior = jnp.logical_and(interior, min_q_tok >= max_kv_pos)
+
+        @pl.when(jnp.logical_and(active, interior))
+        def _compute_interior():
+            _body(masked=False)
+
+        @pl.when(jnp.logical_and(active, jnp.logical_not(interior)))
+        def _compute_masked():
+            _body(masked=True)
+    else:
+
+        @pl.when(active)
+        def _compute():
+            _body(masked=True)
 
     @pl.when(j == nsub - 1)
     def _finalize():
         m = m_ref[:, :, :1]  # [kvh, tile_q, 1]
         l = l_ref[:, :, :1]
+        if kv_dequant == "e4m3":
+            # P ran 2^60-scaled (exp2 offset); bring l back to true scale so
+            # acc/l lands at 2^-60 (normal f32) and v_scale (x2^60) finishes
+            l = l * (2.0 ** -_E4M3_EXP_SHIFT)
         safe_l = jnp.where(l > 0, l, 1.0)
         out = acc_ref[:] / safe_l
         if v_scale != 1.0:  # fp8 V dequant, folded to one multiply per output
@@ -485,6 +636,10 @@ def batch_paged_attention_run(
     group = plan_meta.gqa_group
     T = plan_meta.num_work_items
     sm_scale = sm_scale * k_scale  # fp8 K dequant folds into the scale
+    if kv_dequant == "e4m3":
+        # packed decode leaves K and V at 2^-60 scale (paged._e4m3_decode_rows)
+        sm_scale = sm_scale * _E4M3_SHIFT_SCALE
+        v_scale = v_scale * _E4M3_SHIFT_SCALE
 
     h_blk, tile_k = choose_tiles(
         num_kv_heads=num_kv_heads,
@@ -501,12 +656,16 @@ def batch_paged_attention_run(
     if ragged:
         page_size = tile_k
     nsub = plan_meta.kv_chunk_size // tile_k
+    if kv_dequant == "e4m3":
+        assert tile_k % 4 == 0, (
+            f"fp8 KV needs tile_k % 4 == 0 (packed 4-byte decode), got {tile_k}"
+        )
 
     if h_blk < num_kv_heads:
         parts = []
         for h0 in range(0, num_kv_heads, h_blk):
             parts.append(
-                _run_head_group(
+                _finish_run(
                     q_packed[h0 : h0 + h_blk], k_cache, v_cache, kv_indices,
                     plan_arrays, plan_meta=plan_meta, causal=causal,
                     sm_scale=sm_scale, v_scale=v_scale,
@@ -532,9 +691,6 @@ def batch_paged_attention_run(
         d_pad=d_pad, dv_pad=dv_pad,
     )
 
-
-def _run_head_group(q_grp, k_cache, v_cache, kv_indices, plan_arrays, **kw):
-    return _finish_run(q_grp, k_cache, v_cache, kv_indices, plan_arrays, **kw)
 
 
 def _finish_run(
