@@ -56,7 +56,12 @@ class JitSpec:
     def content_hash(self) -> str:
         h = hashlib.sha256()
         h.update(" ".join(list(self.flags) + cxxflags()).encode())
-        for p in self.source_paths():
+        # include every header in csrc/: planner.cc/page_pool.cc both include
+        # fi_native.h (struct layouts + ABI constant), and a header-only edit
+        # must invalidate the cached .so — a stale .so with a changed struct
+        # layout is silent ctypes memory corruption
+        headers = sorted(str(p) for p in CSRC_DIR.glob("*.h"))
+        for p in list(self.source_paths()) + headers:
             with open(p, "rb") as f:
                 h.update(f.read())
         return h.hexdigest()[:16]

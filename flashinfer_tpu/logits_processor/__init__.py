@@ -100,8 +100,8 @@ class Softmax(LogitsProcessor):
     OUT = TensorType.PROBS
 
     def apply(self, x, runtime):
-        return S.softmax(x, runtime.get("temperature", 1.0)
-                         if False else 1.0)  # temperature handled upstream
+        # temperature is legalized into a separate Temperature op upstream
+        return S.softmax(x, 1.0)
 
 
 class TopK(LogitsProcessor):

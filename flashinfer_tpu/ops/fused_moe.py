@@ -166,9 +166,11 @@ def fused_moe(
     token_of = order // top_k
     x_sorted = hidden_states[token_of]  # [m*k, hidden]
 
-    # GEMM outputs in the input dtype: the MXU accumulates in f32 internally
-    # either way, and an f32 [m*k, 2*inter] intermediate would cost 2x HBM
-    # on the act pass for bf16 models (f32 inputs keep full precision)
+    # First GEMM outputs in the input dtype: the MXU accumulates in f32
+    # internally, and an f32 [m*k, 2*inter] intermediate would cost 2x HBM
+    # on the act pass for bf16 models. The second (down-projection) GEMM
+    # keeps its f32 accumulator: its output feeds the f32 top-k combine
+    # anyway, so full-precision accumulation over inter_size is free.
     cdt = hidden_states.dtype
     h1 = jax.lax.ragged_dot(
         x_sorted, jnp.swapaxes(w13, 1, 2), group_sizes,
@@ -178,16 +180,14 @@ def fused_moe(
     h1 = act(h1)
     h2 = jax.lax.ragged_dot(
         h1, jnp.swapaxes(w2, 1, 2), group_sizes,
-        preferred_element_type=cdt,
-    )  # [m*k, hidden]
+        preferred_element_type=jnp.float32,
+    )  # [m*k, hidden] f32
 
     # unpermute with an inverse-permutation GATHER (a scatter-add unpermute
     # lowers to a slow sorted-scatter loop on TPU) + weighted top-k combine
     inv = jnp.argsort(order)
     h2_tok = h2[inv].reshape(m, top_k, hidden)
-    out = jnp.sum(
-        h2_tok.astype(jnp.float32) * expert_scales[:, :, None], axis=1
-    )
+    out = jnp.sum(h2_tok * expert_scales[:, :, None], axis=1)
     return out.astype(out_dtype)
 
 

@@ -185,10 +185,14 @@ def gemm_fp8_nt_groupwise(
             e4m3_bits_to_bf16(bits).astype(jnp.float32) * scale_full
         ).astype(jnp.bfloat16)
 
+    assert b_scale.shape[0] == k // gk, (b_scale.shape, k, gk)
+    assert n % b_scale.shape[1] == 0, (
+        f"n={n} must be a multiple of b_scale n-groups {b_scale.shape[1]}"
+    )
     a_deq = deq(a, jnp.repeat(a_scale.astype(jnp.float32), gk, axis=1)[:, :k])
     bs_full = jnp.repeat(
         jnp.repeat(b_scale.astype(jnp.float32), gk, axis=0)[:k],
-        max(n // b_scale.shape[1], 1), axis=1,
+        n // b_scale.shape[1], axis=1,
     )[:, :n]
     b_deq = deq(b, bs_full.T)
     acc = jax.lax.dot_general(

@@ -71,14 +71,13 @@ def _local_ring_body(q, k, v, *, axis_name, causal, sm_scale):
     s0 = jnp.full((local_q, q.shape[1]), -jnp.inf, jnp.float32)
     # initial carries must be marked varying over the ring axis or the scan
     # carry types mismatch (unvarying in, varying out)
-    pvary = getattr(jax.lax, "pvary", None) or getattr(jax.lax, "pcast", None)
-    if pvary is not None:
-        try:
-            v0 = jax.lax.pvary(v0, (axis_name,))
-            s0 = jax.lax.pvary(s0, (axis_name,))
-        except Exception:
-            v0 = v0 + 0 * q[..., : v.shape[2]].astype(v0.dtype)
-            s0 = s0 + 0 * q[..., 0].astype(s0.dtype)
+    pcast = getattr(jax.lax, "pcast", None)
+    if pcast is not None:
+        v0 = pcast(v0, axis_name, to="varying")
+        s0 = pcast(s0, axis_name, to="varying")
+    else:  # older jax: jax.lax.pvary
+        v0 = jax.lax.pvary(v0, (axis_name,))
+        s0 = jax.lax.pvary(s0, (axis_name,))
     (k, v, v_acc, s_acc), _ = jax.lax.scan(
         step, (k, v, v0, s0), jnp.arange(cp)
     )

@@ -104,8 +104,18 @@ class LlamaServingEngine:
             mc.head_dim,
         )
         if config.kv_dtype == "fp8_e4m3":
-            cache_dtype = jnp.float8_e4m3fn
+            # e4m3 bits live in an int8 container: a float8-dtype cache
+            # would cost a full bitcast copy per layer per step inside the
+            # jitted run (ops/attention/batch.py run_device_plan note), and
+            # pre-v6 TPUs stream int8 at full rate but float8 ~8x slower
+            cache_dtype = jnp.int8
             self._kv_scale = float(config.kv_scale)
+            if not (config.interpret if config.interpret is not None
+                    else not on_tpu()) and config.page_size < 32:
+                raise ValueError(
+                    "fp8_e4m3 KV on real TPUs needs page_size >= 32 (int8 "
+                    f"VMEM sublane tile is 32), got {config.page_size}"
+                )
         else:
             cache_dtype = mc.dtype
             self._kv_scale = 1.0
@@ -131,6 +141,14 @@ class LlamaServingEngine:
     # ------------------------------------------------------------------ API
 
     def add_request(self, prompt, max_new_tokens: int) -> GenerationRequest:
+        total = len(prompt) + max_new_tokens
+        if total > self.cfg.max_seq_len:
+            # fail fast: a sequence growing past max_seq_len would overflow
+            # the fixed decode work capacity mid-serve
+            raise ValueError(
+                f"prompt_len + max_new_tokens = {total} exceeds "
+                f"max_seq_len={self.cfg.max_seq_len}"
+            )
         req = GenerationRequest(list(map(int, prompt)), max_new_tokens)
         req.request_id = self._next_id
         self._next_id += 1
@@ -366,9 +384,13 @@ def _layer_forward(params, mc, layer, num_pages, x, positions, k_cache,
     v = (xn @ params["wv"][layer]).reshape(rows, hkv, d)
     q, k = apply_rope_pos_ids(q, k, positions, rope_theta=mc.rope_theta)
 
-    if kv_scale != 1.0:  # fp8 KV: store quantized bits, dequant in-kernel
-        k = (k.astype(jnp.float32) / kv_scale).astype(k_cache.dtype)
-        v = (v.astype(jnp.float32) / kv_scale).astype(v_cache.dtype)
+    if kv_scale != 1.0:  # fp8 KV: store e4m3 bits (int8 container)
+        k = jax.lax.bitcast_convert_type(
+            (k.astype(jnp.float32) / kv_scale).astype(jnp.float8_e4m3fn),
+            jnp.int8)
+        v = jax.lax.bitcast_convert_type(
+            (v.astype(jnp.float32) / kv_scale).astype(jnp.float8_e4m3fn),
+            jnp.int8)
     # in-place scatter into the global page space (drop padding rows)
     pids = jnp.where(valid, page_ids + layer * num_pages, k_cache.shape[0])
     k_cache = k_cache.at[pids, entry_ids].set(
@@ -378,6 +400,7 @@ def _layer_forward(params, mc, layer, num_pages, x, positions, k_cache,
     attn = run_device_plan(
         dplan, q, k_cache, v_cache, kv_layout=TensorLayout.NHD,
         k_scale=kv_scale, v_scale=kv_scale,
+        kv_dtype="e4m3" if kv_scale != 1.0 else None,
         kv_indices_offset=layer * num_pages, interpret=interpret,
     )
     x = x + (attn.reshape(rows, hq * d) @ params["wo"][layer]).astype(x.dtype)
