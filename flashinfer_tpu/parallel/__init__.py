@@ -10,6 +10,7 @@ from flashinfer_tpu.parallel.collectives import (
     moe_allreduce_fusion,
 )
 from flashinfer_tpu.parallel.mapping import Mapping
+from flashinfer_tpu.parallel.moe import fused_moe_ep, moe_ep_capacity
 from flashinfer_tpu.parallel.mesh import (
     MeshContext,
     make_mesh,
@@ -26,6 +27,8 @@ from flashinfer_tpu.parallel.tp_serving import (
 __all__ = [
     "Mapping",
     "MeshContext",
+    "fused_moe_ep",
+    "moe_ep_capacity",
     "make_mesh",
     "shard_model_specs",
     "shard_kv_cache_spec",

@@ -157,13 +157,13 @@ class MoeAlltoAll:
         send_x = jnp.zeros((ep, self.capacity, hidden), x.dtype)
         send_e = jnp.full((ep, self.capacity), -1, jnp.int32)
         tok = jnp.arange(m * top_k) // top_k
-        d_idx = jnp.where(keep, flat_dest, 0)
-        s_idx = jnp.where(keep, slot, 0)
-        src_rows = x[tok]
-        src_rows = jnp.where(keep[:, None], src_rows, send_x[d_idx, s_idx])
-        send_x = send_x.at[d_idx, s_idx].set(src_rows)
-        e_vals = jnp.where(keep, expert_ids.reshape(-1), send_e[d_idx, s_idx])
-        send_e = send_e.at[d_idx, s_idx].set(e_vals)
+        # dropped copies scatter out of bounds (mode="drop") — routing them
+        # to a real slot would overwrite a kept token's row
+        d_idx = jnp.where(keep, flat_dest, ep)
+        s_idx = jnp.where(keep, slot, self.capacity)
+        send_x = send_x.at[d_idx, s_idx].set(x[tok], mode="drop")
+        send_e = send_e.at[d_idx, s_idx].set(
+            expert_ids.reshape(-1), mode="drop")
 
         recv_x = jax.lax.all_to_all(send_x, self.axis_name, 0, 0, tiled=True)
         recv_e = jax.lax.all_to_all(send_e, self.axis_name, 0, 0, tiled=True)

@@ -1,0 +1,113 @@
+"""Expert-parallel (EP) sharded MoE layer.
+
+Reference parity: the tp/ep args of ``cutlass_fused_moe``
+(flashinfer/fused_moe/core.py:758) composed with the MoE alltoall
+dispatch/combine kernels (comm/trtllm_alltoall.py:443-552). The reference
+ships these as separate pieces the serving engine wires together; here the
+assembled layer is provided directly, TPU-style: one ``shard_map`` over the
+``ep`` mesh axis whose body is route -> alltoall dispatch -> the local
+grouped-GEMM expert MLP (ops/fused_moe.fused_moe, so fp8/fp4 weight paths
+come along for free) -> alltoall combine.
+
+Static shapes throughout: dispatch is capacity-based (each device sends at
+most ``capacity`` token-copies to each peer), so one compiled program
+serves any routing outcome — the CUDA-graph-stability analogue.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, PartitionSpec as P
+
+from flashinfer_tpu.ops.fused_moe import (
+    GatedActType,
+    RoutingMethodType,
+    fused_moe,
+    route_tokens,
+)
+from flashinfer_tpu.parallel.collectives import MoeAlltoAll
+
+__all__ = ["fused_moe_ep", "moe_ep_capacity"]
+
+
+def moe_ep_capacity(
+    tokens_per_device: int, top_k: int, ep: int, capacity_factor: float = 1.5
+) -> int:
+    """Per-peer send capacity: expected tokens-per-peer times a slack factor
+    (the reference sizes its alltoall workspace the same way)."""
+    expected = tokens_per_device * top_k / ep
+    return max(8, int(expected * capacity_factor + 0.5))
+
+
+def fused_moe_ep(
+    hidden_states: jax.Array,  # [tokens, hidden] (sharded over ep)
+    router_logits: jax.Array,  # [tokens, num_experts]
+    w13: jax.Array,  # [num_experts, 2*inter, hidden] (sharded over ep)
+    w2: jax.Array,  # [num_experts, hidden, inter]
+    mesh: Mesh,
+    *,
+    top_k: int,
+    axis_name: str = "ep",
+    routing_method: RoutingMethodType = RoutingMethodType.Default,
+    gated_act: GatedActType = GatedActType.SwiGlu,
+    capacity: Optional[int] = None,
+    capacity_factor: float = 1.5,
+    n_group: Optional[int] = None,
+    topk_group: Optional[int] = None,
+    routed_scaling_factor: float = 1.0,
+    routing_bias: Optional[jax.Array] = None,
+    w13_scale: Optional[jax.Array] = None,
+    w2_scale: Optional[jax.Array] = None,
+) -> jax.Array:
+    """EP-sharded MoE layer: tokens sharded over ``axis_name``, experts
+    sharded over the same axis (expert e lives on device e // (E/ep)).
+
+    Returns [tokens, hidden] with the same sharding as ``hidden_states``.
+    Tokens overflowing the per-peer ``capacity`` are dropped from the
+    combine (contribute zero), matching capacity-based MoE serving.
+    """
+    num_experts = w13.shape[0]
+    ep = mesh.shape[axis_name]
+    assert num_experts % ep == 0, (num_experts, ep)
+    eper = num_experts // ep
+    tokens = hidden_states.shape[0]
+    assert tokens % ep == 0, (tokens, ep)
+    if capacity is None:
+        capacity = moe_ep_capacity(
+            tokens // ep, top_k, ep, capacity_factor
+        )
+    a2a = MoeAlltoAll(num_experts, capacity, axis_name)
+
+    def body(x, logits, w13_l, w2_l):
+        my = jax.lax.axis_index(axis_name)
+        ids, scales = route_tokens(
+            logits, top_k, routing_method,
+            n_group=n_group, topk_group=topk_group,
+            routed_scaling_factor=routed_scaling_factor,
+            routing_bias=routing_bias,
+        )
+        recv_x, recv_e, send_slot = a2a.dispatch(x, ids)
+        # received copies carry GLOBAL expert ids in this device's range;
+        # invalid slots (-1) are clamped to expert 0 — their outputs are
+        # dropped by combine's send_slot validity mask, so no masking here
+        local_e = jnp.clip(recv_e - my * eper, 0, eper - 1)
+        y = fused_moe(
+            recv_x, w13_l, w2_l,
+            local_e[:, None],
+            jnp.ones((recv_x.shape[0], 1), jnp.float32),
+            gated_act=gated_act,
+            w13_scale=w13_scale, w2_scale=w2_scale,
+        )
+        return a2a.combine(y, send_slot, ids, scales)
+
+    tok_spec = P(axis_name, None)
+    exp_spec = P(axis_name, None, None)
+    return jax.shard_map(
+        body,
+        mesh=mesh,
+        in_specs=(tok_spec, tok_spec, exp_spec, exp_spec),
+        out_specs=tok_spec,
+    )(hidden_states, router_logits, w13, w2)

@@ -26,39 +26,68 @@ import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, PartitionSpec as P
 
-from flashinfer_tpu.ops.attention.reference import attention_reference
+from flashinfer_tpu.ops.attention.kernels.flash import flash_attention_dense
 from flashinfer_tpu.ops.attention.state import merge_state
 
 __all__ = ["ring_attention", "ulysses_attention"]
 
 
-def _local_ring_body(q, k, v, *, axis_name, causal, sm_scale):
-    """Per-device body under shard_map. q/k/v: [local_len, heads, d]."""
+def _local_ring_body(q, k, v, *, axis_name, causal, sm_scale, interpret):
+    """Per-device body under shard_map. q/k/v: [local_len, heads, d].
+
+    Per-shard compute is the dense Pallas flash kernel (kernels/flash.py),
+    not the jnp oracle — this is a production long-context path. With
+    causal masking the block structure is exploited per ring step: the
+    diagonal shard runs the causal kernel, earlier shards run the mask-free
+    kernel, later shards are skipped entirely (merge identity) via
+    lax.cond, so only one kernel executes per step.
+    """
     cp = jax.lax.axis_size(axis_name)
     my = jax.lax.axis_index(axis_name)
     local_q = q.shape[0]
     local_kv = k.shape[0]
+    if causal:
+        assert local_q == local_kv, (
+            "causal ring attention needs equal q/kv sharding"
+        )
 
-    # absolute positions: rank r owns q rows [r*local_q, ...), kv likewise
-    q_start = my * local_q
+    run = functools.partial(
+        flash_attention_dense, sm_scale=sm_scale, interpret=interpret
+    )
 
     def step(carry, i):
         k_cur, v_cur, v_acc, s_acc = carry
         # which rank's shard is resident after i hops (shards move +1 each
         # step, so at step i we hold the shard originally at my - i)
         src = (my - i) % cp
-        kv_start = src * local_kv
 
-        q_pos = jnp.arange(local_q, dtype=jnp.int32)[:, None] + q_start
-        kv_pos = jnp.arange(local_kv, dtype=jnp.int32)[None, :] + kv_start
         if causal:
-            mask = kv_pos <= q_pos
-        else:
-            mask = jnp.ones((local_q, local_kv), bool)
+            # block-causal: diagonal -> causal kernel; below-diagonal ->
+            # unmasked kernel; above-diagonal -> no work at all
+            def diag(qkv):
+                return run(*qkv, causal=True)
 
-        o, lse = attention_reference(
-            q, k_cur, v_cur, sm_scale=sm_scale, custom_mask=mask
-        )
+            def below_or_skip(qkv):
+                def below(qkv):
+                    return run(*qkv, causal=False)
+
+                def skip(qkv):
+                    qq, _, vv = qkv
+                    return (
+                        jnp.zeros(
+                            (local_q, qq.shape[1], vv.shape[2]), qq.dtype
+                        ),
+                        jnp.full((local_q, qq.shape[1]), -jnp.inf,
+                                 jnp.float32),
+                    )
+
+                return jax.lax.cond(src < my, below, skip, qkv)
+
+            o, lse = jax.lax.cond(
+                src == my, diag, below_or_skip, (q, k_cur, v_cur)
+            )
+        else:
+            o, lse = run(q, k_cur, v_cur, causal=False)
         v_acc, s_acc = merge_state(v_acc, s_acc, o, lse)
 
         # rotate the shard to the next rank
@@ -94,6 +123,7 @@ def ring_attention(
     causal: bool = False,
     sm_scale: Optional[float] = None,
     return_lse: bool = False,
+    interpret: Optional[bool] = None,
 ):
     """Sequence-parallel attention over the mesh's ``axis_name`` ring.
 
@@ -103,13 +133,15 @@ def ring_attention(
     spec = P(axis_name, None, None)
     body = functools.partial(
         _local_ring_body, axis_name=axis_name, causal=causal,
-        sm_scale=sm_scale,
+        sm_scale=sm_scale, interpret=interpret,
     )
     out, lse = jax.shard_map(
         body,
         mesh=mesh,
         in_specs=(spec, spec, spec),
         out_specs=(spec, P(axis_name, None)),
+        # pallas_call inside shard_map can't express vma typing yet
+        check_vma=False,
     )(q, k, v)
     return (out, lse) if return_lse else out
 
@@ -123,10 +155,11 @@ def ulysses_attention(
     axis_name: str = "cp",
     causal: bool = False,
     sm_scale: Optional[float] = None,
+    interpret: Optional[bool] = None,
 ):
     """Ulysses SP: all_to_all seq-sharded q/k/v into head-sharded, run
-    full-sequence attention locally, reshard back (the reference's attn-CP
-    'ulysses fallback', mapping.py:150-153)."""
+    full-sequence attention locally (dense Pallas flash kernel), reshard
+    back (the reference's attn-CP 'ulysses fallback', mapping.py:150-153)."""
 
     def body(q, k, v):
         # local: [seq/cp, heads, d] -> [seq, heads/cp, d]
@@ -141,11 +174,14 @@ def ulysses_attention(
             )
 
         qh, kh, vh = to_heads(q), to_heads(k), to_heads(v)
-        o, _ = attention_reference(qh, kh, vh, causal=causal,
-                                   sm_scale=sm_scale)
+        o, _ = flash_attention_dense(
+            qh, kh, vh, causal=causal, sm_scale=sm_scale,
+            interpret=interpret,
+        )
         return to_seq(o)
 
     spec = P(axis_name, None, None)
     return jax.shard_map(
-        body, mesh=mesh, in_specs=(spec, spec, spec), out_specs=spec
+        body, mesh=mesh, in_specs=(spec, spec, spec), out_specs=spec,
+        check_vma=False,
     )(q, k, v)

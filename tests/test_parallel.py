@@ -9,6 +9,7 @@ import pytest
 from jax.sharding import Mesh, PartitionSpec as P
 
 from flashinfer_tpu.ops.attention.reference import attention_reference
+from flashinfer_tpu.ops.fused_moe import RoutingMethodType
 from flashinfer_tpu.ops.norm import rmsnorm
 from flashinfer_tpu.parallel import Mapping, make_mesh
 from flashinfer_tpu.parallel.collectives import (
@@ -209,3 +210,54 @@ def test_gemm_allreduce():
     )
     got = np.asarray(f(x, w))
     np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
+
+
+# ---------------- EP-sharded MoE layer ----------------
+
+
+@pytest.mark.parametrize("routing", [RoutingMethodType.Default,
+                                     RoutingMethodType.Renormalize])
+def test_fused_moe_ep_matches_single_device(routing):
+    """fused_moe_ep (route -> alltoall dispatch -> local grouped GEMMs ->
+    combine) equals the single-device fused_moe when capacity is ample."""
+    from flashinfer_tpu.parallel import fused_moe_ep
+    from flashinfer_tpu.ops.fused_moe import fused_moe, route_tokens
+
+    mesh = _mesh1d("ep", 4)
+    rng = np.random.default_rng(11)
+    tokens, hidden, inter, e, top_k = 32, 64, 32, 8, 2
+    x = jnp.asarray(rng.standard_normal((tokens, hidden)) * 0.3, jnp.float32)
+    logits = jnp.asarray(rng.standard_normal((tokens, e)), jnp.float32)
+    w13 = jnp.asarray(rng.standard_normal((e, 2 * inter, hidden)) * 0.1,
+                      jnp.float32)
+    w2 = jnp.asarray(rng.standard_normal((e, hidden, inter)) * 0.1,
+                     jnp.float32)
+
+    out = fused_moe_ep(x, logits, w13, w2, mesh, top_k=top_k,
+                       routing_method=routing, capacity=tokens * top_k)
+    ids, scales = route_tokens(logits, top_k, routing)
+    ref = fused_moe(x, w13, w2, ids, scales)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=2e-4, atol=2e-4)
+
+
+def test_fused_moe_ep_capacity_drop():
+    """Overflowing token-copies drop out of the combine (contribute zero),
+    never corrupt other tokens."""
+    from flashinfer_tpu.parallel import fused_moe_ep
+
+    mesh = _mesh1d("ep", 4)
+    rng = np.random.default_rng(12)
+    tokens, hidden, inter, e = 16, 32, 16, 4
+    x = jnp.asarray(rng.standard_normal((tokens, hidden)) * 0.3, jnp.float32)
+    # all tokens pick expert 0 -> device 0 floods; capacity 2 keeps 2/rank
+    logits = jnp.zeros((tokens, e)).at[:, 0].set(10.0)
+    w13 = jnp.asarray(rng.standard_normal((e, 2 * inter, hidden)) * 0.1,
+                      jnp.float32)
+    w2 = jnp.asarray(rng.standard_normal((e, hidden, inter)) * 0.1,
+                     jnp.float32)
+    out = fused_moe_ep(x, logits, w13, w2, mesh, top_k=1, capacity=2)
+    out = np.asarray(out)
+    # per ep-rank of 4 tokens, the first 2 got through, the rest dropped
+    kept = np.abs(out).sum(axis=1) > 0
+    assert kept.reshape(4, 4)[:, :2].all() and not kept.reshape(4, 4)[:, 2:].any()
