@@ -98,3 +98,44 @@ def test_pod_wrapper():
     np.testing.assert_allclose(np.asarray(p_out), np.asarray(ref_p),
                                rtol=2e-4, atol=2e-4)
     assert d_out.shape == (2, hq, d)
+
+
+def test_pod_single_launch_matches_two_call():
+    """Combined-mode POD (one plan, ONE batch_paged_attention_run) equals
+    the two-launch fallback."""
+    rng = np.random.default_rng(5)
+    hq, hkv, d, page_size = 4, 2, 32, 4
+    qo_len, kv_len = 12, 12
+    q_p = jnp.asarray(rng.standard_normal((qo_len, hq, d)), jnp.float32)
+    k_p = jnp.asarray(rng.standard_normal((kv_len, hkv, d)), jnp.float32)
+    v_p = jnp.asarray(rng.standard_normal((kv_len, hkv, d)), jnp.float32)
+    kv_lens = [6, 9]
+    pages = [-(-s // page_size) for s in kv_lens]
+    indptr = np.concatenate([[0], np.cumsum(pages)])
+    indices = rng.permutation(8)[: indptr[-1]].astype(np.int32)
+    last = np.asarray([s - (p - 1) * page_size for s, p in zip(kv_lens, pages)])
+    num_pages = 16  # spare room for the prefill chunk's pages
+    k_c = jnp.asarray(rng.standard_normal((num_pages, hkv, page_size, d)),
+                      jnp.float32)
+    v_c = jnp.asarray(rng.standard_normal((num_pages, hkv, page_size, d)),
+                      jnp.float32)
+    q_d = jnp.asarray(rng.standard_normal((2, hq, d)), jnp.float32)
+    free_pages = [p for p in range(num_pages) if p not in set(indices)][
+        : -(-kv_len // page_size)]
+
+    w2 = PODWithPagedKVCacheWrapper(backend="pallas")
+    w2.plan(indptr, indices, last, hq, hkv, d, page_size,
+            kv_len_arr=np.asarray(kv_lens))
+    p_ref, d_ref = w2.run(q_p, k_p, v_p, q_d, (k_c, v_c))
+
+    w1 = PODWithPagedKVCacheWrapper(backend="pallas")
+    w1.plan(indptr, indices, last, hq, hkv, d, page_size,
+            prefill_qo_len=qo_len, prefill_kv_len=kv_len,
+            prefill_page_indices=free_pages,
+            kv_len_arr=np.asarray(kv_lens))
+    (p_out, d_out), _cache = w1.run(q_p, k_p, v_p, q_d, (k_c, v_c))
+
+    np.testing.assert_allclose(np.asarray(p_out), np.asarray(p_ref),
+                               rtol=2e-4, atol=2e-4)
+    np.testing.assert_allclose(np.asarray(d_out), np.asarray(d_ref),
+                               rtol=2e-4, atol=2e-4)
