@@ -68,6 +68,73 @@ def _bucket(n: int, minimum: int = 1) -> int:
     return max(minimum, next_power_of_2(n))
 
 
+def _unpack_request_masks(packed, dense, mask_indptr, qo_lens, kv_lens):
+    """Per-request [qo_len, kv_len] bool masks from the reference's
+    custom_mask (dense concat) or packed_custom_mask (packbits, 'big'
+    bitorder — ops/quantization.packbits / flashinfer quantization.py:57).
+    mask_indptr holds per-request BIT offsets; derived from lens if None."""
+    if packed is not None:
+        bits = np.unpackbits(np.asarray(packed, np.uint8))
+    else:
+        bits = np.asarray(dense).astype(np.uint8).ravel()
+    sizes = (np.asarray(qo_lens, np.int64) * np.asarray(kv_lens, np.int64))
+    if mask_indptr is None:
+        mask_indptr = np.concatenate([[0], np.cumsum(sizes)])
+    mask_indptr = np.asarray(mask_indptr, np.int64)
+    masks = []
+    for r in range(len(sizes)):
+        qo, kv = int(qo_lens[r]), int(kv_lens[r])
+        s = int(mask_indptr[r])
+        masks.append(bits[s : s + qo * kv].reshape(qo, kv).astype(bool))
+    return masks
+
+
+def _multi_item_masks(qo_lens, kv_lens, prefix_len, tpos, L):
+    """Multi-item scoring masks (reference prefill.cuh:795
+    logits_mask_multi_item_scoring): a query token in the item region
+    attends to the shared prefix plus its own item only; prefix queries see
+    everything (under the kernel's causal bound). tpos[p - prefix] is the
+    token's position within its item (0 = delimiter)."""
+    masks = []
+    tpos = np.asarray(tpos, np.int64).ravel()
+    for r in range(len(qo_lens)):
+        qo, kv = int(qo_lens[r]), int(kv_lens[r])
+        pre = int(prefix_len[r])
+        t = tpos[r * L : (r + 1) * L]
+        p = kv - qo + np.arange(qo)  # query tokens sit at the sequence tail
+        rel = np.clip(p - pre, 0, max(len(t) - 1, 0))
+        item_start = p - (t[rel] if len(t) else 0)
+        kvi = np.arange(kv)[None, :]
+        keep = np.where(
+            (p < pre)[:, None],
+            True,
+            (kvi < pre) | (kvi > item_start[:, None]),
+        )
+        masks.append(keep)
+    return masks
+
+
+def _build_work_mask(plan, req_masks, group):
+    """Legalize per-request masks into the kernel's work-item tiling:
+    uint8 [T, tile_q, kv_chunk_size], rows = GQA-packed q rows, cols =
+    absolute kv offsets of the item's chunk. Out-of-range rows/cols are
+    clipped — the kernel's base validity mask already excludes them."""
+    T, tq, chunk = plan.num_work_items, plan.tile_q, plan.kv_chunk_size
+    wm = np.ones((T, tq, chunk), np.uint8)
+    for w in range(T):
+        r = int(plan.request_indices[w])
+        if r < 0 or req_masks[r] is None:
+            continue
+        m = req_masks[r]
+        toks = (plan.qo_tile_indices[w] * tq + np.arange(tq)) // group
+        toks = np.clip(toks, 0, m.shape[0] - 1)
+        cols = np.clip(
+            plan.kv_start[w] + np.arange(chunk), 0, m.shape[1] - 1
+        )
+        wm[w] = m[np.ix_(toks, cols)]
+    return wm
+
+
 @dataclasses.dataclass(frozen=True)
 class PlanMeta:
     """Static (hashable) half of a device plan — the jit cache key. Every
@@ -93,6 +160,7 @@ class PlanMeta:
     kv_indices_len: int = 0
     max_splits: int = 1
     kv_major: bool = False
+    has_mask: bool = False  # per-work-item custom/multi-item mask attached
 
     def blob_layout(self):
         """(name, length, shape) segments of the consolidated int32 blob."""
@@ -124,25 +192,34 @@ class DevicePlan:
 
     blob: jax.Array  # [total] int32
     meta: PlanMeta
+    # optional [T, tile_q, kv_chunk_size] uint8 keep-mask (custom masks /
+    # multi-item scoring), built work-item-aligned at plan time so the
+    # kernel DMAs exactly its tile's bytes
+    work_mask: Optional[jax.Array] = None
 
     def tree_flatten(self):
-        return (self.blob,), self.meta
+        return (self.blob, self.work_mask), self.meta
 
     @classmethod
     def tree_unflatten(cls, meta, children):
-        return cls(children[0], meta=meta)
+        return cls(children[0], meta=meta, work_mask=children[1])
 
     @classmethod
     def build(cls, meta: PlanMeta, arrays: dict) -> "DevicePlan":
         """Assemble from host NumPy arrays (single H2D upload).
 
         arrays keys: plan (tuple of 12 [T]), kv_indices, row_src,
-        row_valid (bool), merge_out_row, out_map, merge_src."""
+        row_valid (bool), merge_out_row, out_map, merge_src,
+        optionally work_mask (uint8 [T, tile_q, kv_chunk_size])."""
         parts = [np.asarray(a, np.int32).ravel() for a in arrays["plan"]]
         for name, _, _ in meta.blob_layout()[1:]:
             parts.append(np.asarray(arrays[name], np.int32).ravel())
         blob = np.concatenate(parts) if parts else np.zeros(0, np.int32)
-        return cls(jnp.asarray(blob), meta=meta)
+        wm = arrays.get("work_mask")
+        return cls(
+            jnp.asarray(blob), meta=meta,
+            work_mask=None if wm is None else jnp.asarray(wm, jnp.int8),
+        )
 
     def _seg(self, name):
         off = 0
@@ -285,6 +362,7 @@ def run_device_plan(
         variant_params=variant_params,
         kv_layout=kv_layout,
         ragged=m.ragged,
+        work_mask=dplan.work_mask,
         interpret=interpret,
     )
     merged_v, merged_s = gather_merge_states(
@@ -364,6 +442,13 @@ class BatchAttention:
         kv_len_arr=None,
         variant_params: Any = None,
         work_capacity: Optional[int] = None,
+        custom_mask=None,  # dense bool, concat of per-request [qo_i, kv_i]
+        packed_custom_mask=None,  # uint8 packbits of the above
+        mask_indptr=None,  # [b+1] BIT offsets per request
+        prefix_len_ptr=None,  # multi-item scoring (prefill.py ~1634)
+        token_pos_in_items_ptr=None,
+        token_pos_in_items_len: int = 0,
+        max_item_len_ptr=None,  # accepted for parity; perf hint only
         **_ignored,  # workspace buffers etc. accepted for API familiarity
     ):
         """Host-side plan; see module docstring. All indptr/indices args are
@@ -492,6 +577,37 @@ class BatchAttention:
             kv_idx_host = np.zeros(cap, np.int32)
             kv_idx_host[: len(kv_indices_np)] = kv_indices_np
 
+        # --- per-request custom masks / multi-item scoring (host) ---
+        # Reference: prefill.py:1523 custom_mask/packed_custom_mask ->
+        # mask_mode CUSTOM; prefill.py:~1634 multi-item scoring ->
+        # mask_mode 3. TPU design: masks are static per plan, so they are
+        # legalized ONCE here into a work-item-aligned byte array the
+        # kernel DMAs tile-wise (1 byte/element only for masked plans) —
+        # recomputing per-element mask logic on the VPU every run would
+        # cost more than the DMA on the bandwidth-bound TPU kernel.
+        req_masks = None
+        if packed_custom_mask is not None or custom_mask is not None:
+            assert prefix_len_ptr is None, (
+                "custom_mask and multi-item scoring are mutually exclusive"
+            )
+            req_masks = _unpack_request_masks(
+                packed_custom_mask, custom_mask, mask_indptr, qo_lens,
+                kv_lens,
+            )
+        elif prefix_len_ptr is not None:
+            assert causal, "multi-item scoring implies causal masking"
+            req_masks = _multi_item_masks(
+                qo_lens, kv_lens,
+                np.asarray(prefix_len_ptr, np.int64),
+                np.asarray(token_pos_in_items_ptr, np.int64),
+                int(token_pos_in_items_len)
+                or len(np.asarray(token_pos_in_items_ptr).ravel()),
+            )
+        work_mask = (
+            None if req_masks is None
+            else _build_work_mask(plan, req_masks, group)
+        )
+
         variant = self._variant or make_default_variant(
             logits_soft_cap=logits_soft_cap
         )
@@ -518,6 +634,7 @@ class BatchAttention:
             kv_indices_len=int(kv_idx_host.shape[0]),
             max_splits=int(merge_src.shape[1]),
             kv_major=plan.kv_major,
+            has_mask=work_mask is not None,
         )
         device_plan = DevicePlan.build(
             meta,
@@ -529,6 +646,7 @@ class BatchAttention:
                 merge_out_row=merge_out_row,
                 out_map=out_map,
                 merge_src=merge_src,
+                work_mask=work_mask,
             ),
         )
         self._state = PlanState(
@@ -539,6 +657,7 @@ class BatchAttention:
                 kv_indptr=kv_indptr,
                 kv_indices=kv_indices_np,
                 kv_lens=kv_lens,
+                req_masks=req_masks,
             ),
         )
         return self
@@ -668,6 +787,7 @@ class BatchAttention:
                     .transpose(0, 2, 1, 3)
                     .reshape(-1, st.num_kv_heads, v_cache.shape[-1])[:kv_len]
                 )
+            req_masks = h.get("req_masks")
             o, lse = attention_reference(
                 q_r,
                 k_r,
@@ -675,6 +795,10 @@ class BatchAttention:
                 causal=st.causal,
                 sm_scale=st.sm_scale,
                 window_left=st.window_left,
+                custom_mask=(
+                    None if req_masks is None
+                    else jnp.asarray(req_masks[r])
+                ),
                 variant=self._variant_resolved,
                 variant_params=self._variant_params,
             )

@@ -156,6 +156,7 @@ def _paged_kernel(
     *refs,
     num_variant_leaves: int,
     rebuild_params,
+    has_mask: bool,
     variant: AttentionVariant,
     sm_scale: float,
     v_scale: float,
@@ -182,6 +183,8 @@ def _paged_kernel(
     q_ref = refs[idx]; idx += 1
     k_hbm = refs[idx]; idx += 1
     v_hbm = refs[idx]; idx += 1
+    if has_mask:
+        mask_ref = refs[idx]; idx += 1
     variant_refs = refs[idx : idx + num_variant_leaves]
     idx += num_variant_leaves
     out_ref, lse_ref = refs[idx : idx + 2]
@@ -336,6 +339,10 @@ def _paged_kernel(
                 base_mask = jnp.logical_and(
                     base_mask, kv_pos > q_tok - window_left - 1
                 )
+            if has_mask:
+                # plan-time-legalized custom/multi-item mask tile (columns
+                # pre-permuted by the run wrapper for fp8 caches)
+                base_mask = jnp.logical_and(base_mask, mask_ref[0] != 0)
             col_valid = vrow < remaining
 
         # exp = exp2 with log2(e) folded into the logits; when no
@@ -459,7 +466,9 @@ def _paged_kernel(
     # whole mask pipeline — the TPU analogue of the reference's
     # mask-free-interior-tile specialization (prefill.cuh hot loop)
     active = jnp.logical_and(valid_item, remaining > 0)
-    can_skip_mask = window_left < 0 and variant.logits_mask is None
+    can_skip_mask = (
+        window_left < 0 and variant.logits_mask is None and not has_mask
+    )
     if can_skip_mask:
         interior = remaining >= tile_k
         if causal:
@@ -595,6 +604,7 @@ def batch_paged_attention_run(
     variant_params: Any = None,
     kv_layout: TensorLayout = TensorLayout.HND,
     ragged: bool = False,
+    work_mask: Optional[jax.Array] = None,
     interpret: Optional[bool] = None,
 ) -> Tuple[jax.Array, jax.Array]:
     """Run the planned work list.
@@ -660,6 +670,15 @@ def batch_paged_attention_run(
         assert tile_k % 4 == 0, (
             f"fp8 KV needs tile_k % 4 == 0 (packed 4-byte decode), got {tile_k}"
         )
+        if work_mask is not None:
+            # kernel columns are row-permuted by the packed decode; sample
+            # the mask at the permuted offsets (cheap XLA gather on the
+            # byte mask, once per run)
+            Tm, tqm, chunk_m = work_mask.shape
+            perm = _permute_kv_offsets(jnp.arange(tile_k), tile_k)
+            work_mask = work_mask.reshape(
+                Tm, tqm, chunk_m // tile_k, tile_k
+            )[..., perm].reshape(Tm, tqm, chunk_m)
 
     if h_blk < num_kv_heads:
         parts = []
@@ -674,7 +693,7 @@ def batch_paged_attention_run(
                     head_offset=h0, h_blk=h_blk, variant=variant,
                     variant_params=variant_params, kv_layout=kv_layout,
                     ragged=ragged, interpret=interpret, d_pad=d_pad,
-                    dv_pad=dv_pad,
+                    dv_pad=dv_pad, work_mask=work_mask,
                 )
             )
         partial_o = jnp.concatenate([p[0] for p in parts], axis=1)
@@ -688,7 +707,7 @@ def batch_paged_attention_run(
         tile_k=tile_k, nsub=nsub, page_size=page_size, head_offset=0,
         h_blk=num_kv_heads, variant=variant, variant_params=variant_params,
         kv_layout=kv_layout, ragged=ragged, interpret=interpret,
-        d_pad=d_pad, dv_pad=dv_pad,
+        d_pad=d_pad, dv_pad=dv_pad, work_mask=work_mask,
     )
 
 
@@ -697,7 +716,7 @@ def _finish_run(
     q_packed, k_cache, v_cache, kv_indices, plan_arrays, *,
     plan_meta, causal, sm_scale, v_scale, kv_dequant, window_left, tile_k,
     nsub, page_size, head_offset, h_blk, variant, variant_params, kv_layout,
-    ragged, interpret, d_pad, dv_pad,
+    ragged, interpret, d_pad, dv_pad, work_mask=None,
 ):
     tile_q = plan_meta.tile_q
     group = plan_meta.gqa_group
@@ -716,6 +735,11 @@ def _finish_run(
                      memory_space=pltpu.VMEM),
         pl.BlockSpec(memory_space=pl.ANY),  # k_cache stays in HBM
         pl.BlockSpec(memory_space=pl.ANY),  # v_cache stays in HBM
+        *(
+            [pl.BlockSpec((1, tile_q, tile_k), lambda w, j, *s: (w, 0, j),
+                          memory_space=pltpu.VMEM)]
+            if work_mask is not None else []
+        ),
         *v_specs,
     ]
 
@@ -723,6 +747,7 @@ def _finish_run(
         _paged_kernel,
         num_variant_leaves=len(v_arrays),
         rebuild_params=rebuild,
+        has_mask=work_mask is not None,
         variant=variant,
         sm_scale=sm_scale,
         v_scale=v_scale,
@@ -795,6 +820,7 @@ def _finish_run(
             transcendentals=T * tile_q * plan_meta.kv_chunk_size * num_kv_heads,
         ),
         interpret=interpret,
-    )(*plan_arrays, kv_indices, q_packed, k_cache, v_cache, *v_arrays)
+    )(*plan_arrays, kv_indices, q_packed, k_cache, v_cache,
+      *([] if work_mask is None else [work_mask]), *v_arrays)
 
     return partial_o, partial_lse

@@ -69,6 +69,7 @@ def single_prefill_with_kv_cache(
     v: jax.Array,
     *,
     custom_mask: Optional[jax.Array] = None,
+    packed_custom_mask: Optional[jax.Array] = None,
     causal: bool = False,
     kv_layout: str = "NHD",
     pos_encoding_mode: Union[str, PosEncodingMode] = "NONE",
@@ -91,6 +92,15 @@ def single_prefill_with_kv_cache(
     if layout == TensorLayout.HND:
         k = jnp.swapaxes(k, 0, 1)
         v = jnp.swapaxes(v, 0, 1)
+
+    if packed_custom_mask is not None and custom_mask is None:
+        # reference prefill.py:1019 packed uint8 mask (quantization.py:57)
+        from flashinfer_tpu.ops.quantization import unpackbits
+
+        n = q.shape[0] * (k.shape[0])
+        custom_mask = unpackbits(
+            jnp.asarray(packed_custom_mask, jnp.uint8), n
+        ).reshape(q.shape[0], k.shape[0]).astype(bool)
 
     mode = _canon_pos_mode(pos_encoding_mode)
     num_qo_heads = q.shape[1]

@@ -180,3 +180,93 @@ def test_batch_prefill_soft_cap():
         (k, v),
         cls=BatchPrefillWithPagedKVCacheWrapper,
     )
+
+
+# ---------------- custom masks (packbits) + multi-item scoring ----------------
+
+
+def test_batch_prefill_packed_custom_mask():
+    """Per-request packbits custom masks flow through plan into the kernel
+    (reference prefill.py:1523 custom_mask -> mask_mode CUSTOM)."""
+    rng = np.random.default_rng(21)
+    hq, hkv, d, page_size = 4, 2, 64, 8
+    qo_lens = [5, 13, 1]
+    kv_lens = [24, 17, 9]
+    qo_indptr = np.concatenate([[0], np.cumsum(qo_lens)])
+    kv_indptr, indices, last, total = _page_table(rng, kv_lens, page_size)
+    kc, vc = _fill_cache(rng, total, hkv, page_size, d)
+    q = jnp.asarray(
+        rng.standard_normal((qo_indptr[-1], hq, d)), jnp.float32)
+
+    masks = [rng.random((qo, kv)) > 0.4 for qo, kv in zip(qo_lens, kv_lens)]
+    flat = np.concatenate([m.ravel() for m in masks])
+    packed = np.packbits(flat)  # big bitorder, reference quantization.py:57
+    bit_indptr = np.concatenate(
+        [[0], np.cumsum([qo * kv for qo, kv in zip(qo_lens, kv_lens)])])
+
+    plan_args = (qo_indptr, kv_indptr, indices, last, hq, hkv, d, page_size)
+    plan_kwargs = dict(kv_len_arr=np.asarray(kv_lens),
+                       packed_custom_mask=packed, mask_indptr=bit_indptr)
+    _compare({}, plan_args, plan_kwargs, q, (kc, vc),
+             cls=BatchPrefillWithPagedKVCacheWrapper)
+
+
+def test_batch_prefill_custom_mask_fp8_kv():
+    """Custom mask + fp8 KV: mask columns are resampled at the packed
+    decode's permuted offsets."""
+    rng = np.random.default_rng(22)
+    hq, hkv, d, page_size = 2, 1, 64, 32
+    qo_lens = [4, 3]
+    kv_lens = [64, 40]
+    qo_indptr = np.concatenate([[0], np.cumsum(qo_lens)])
+    kv_indptr, indices, last, total = _page_table(rng, kv_lens, page_size)
+    kcf, vcf = _fill_cache(rng, total, hkv, page_size, d)
+    kc = kcf.astype(jnp.float8_e4m3fn)
+    vc = vcf.astype(jnp.float8_e4m3fn)
+    q = jnp.asarray(
+        rng.standard_normal((qo_indptr[-1], hq, d)), jnp.float32)
+    masks = [rng.random((qo, kv)) > 0.3 for qo, kv in zip(qo_lens, kv_lens)]
+    flat = np.concatenate([m.ravel() for m in masks])
+
+    plan_args = (qo_indptr, kv_indptr, indices, last, hq, hkv, d, page_size)
+    plan_kwargs = dict(kv_len_arr=np.asarray(kv_lens),
+                       custom_mask=flat)
+    _compare({}, plan_args, plan_kwargs, q, (kc, vc), tol=6e-2,
+             cls=BatchPrefillWithPagedKVCacheWrapper)
+
+
+def test_batch_prefill_multi_item_scoring():
+    """Multi-item scoring (reference prefill.cuh:795): item-region queries
+    attend to the shared prefix plus their own item only."""
+    rng = np.random.default_rng(23)
+    hq, hkv, d, page_size = 2, 2, 64, 8
+    # one request: prefix 6, items of lengths 3, 2, 4 (delimiter-led)
+    prefix = 6
+    items = [3, 2, 4]
+    tpos = []
+    for ln in items:
+        tpos.extend(range(ln))
+    tpos.append(0)  # trailing delimiter
+    kv_len = prefix + len(tpos)
+    qo_len = kv_len  # full prompt scoring
+    qo_indptr = np.asarray([0, qo_len])
+    kv_indptr, indices, last, total = _page_table(rng, [kv_len], page_size)
+    kc, vc = _fill_cache(rng, total, hkv, page_size, d)
+    q = jnp.asarray(rng.standard_normal((qo_len, hq, d)), jnp.float32)
+
+    plan_args = (qo_indptr, kv_indptr, indices, last, hq, hkv, d, page_size)
+    plan_kwargs = dict(kv_len_arr=np.asarray([kv_len]), causal=True,
+                       prefix_len_ptr=np.asarray([prefix]),
+                       token_pos_in_items_ptr=np.asarray(tpos),
+                       token_pos_in_items_len=len(tpos))
+    _compare({}, plan_args, plan_kwargs, q, (kc, vc),
+             cls=BatchPrefillWithPagedKVCacheWrapper)
+
+    # cross-check one row against first principles: a query in item 2 must
+    # ignore item 1's tokens but see the prefix and its own item
+    w = BatchPrefillWithPagedKVCacheWrapper(backend="reference")
+    w.plan(*plan_args, **plan_kwargs)
+    m = w._state.host["req_masks"][0]
+    p_item2 = prefix + items[0] + 1  # first real token of item 2
+    assert m[p_item2, :prefix].all()          # sees prefix
+    assert not m[p_item2, prefix:prefix + items[0]].any() or items[0] == 0
