@@ -92,6 +92,20 @@ class AutoTuner:
 
     # -- core ---------------------------------------------------------------
 
+    def cached(self, op_key: str, tactics: Sequence[Any]) -> Optional[Any]:
+        """Return the persisted winner for op_key if it is still a valid
+        tactic, else None. Pure host lookup — safe to call at trace time
+        (kernel call sites consult this on every run; profiling only
+        happens through choose_one on eager values)."""
+        self._load()
+        cached = self._cache.get(op_key)
+        if cached is not None:
+            for t in tactics:
+                if _tactic_key(t) == cached:
+                    self.stats.cache_hits += 1
+                    return t
+        return None
+
     def choose_one(
         self,
         op_key: str,
@@ -106,12 +120,9 @@ class AutoTuner:
         tactics = list(runner.get_valid_tactics())
         if not tactics:
             raise ValueError(f"{op_key}: no valid tactics")
-        if op_key in self._cache:
-            cached = self._cache[op_key]
-            for t in tactics:
-                if _tactic_key(t) == cached:
-                    self.stats.cache_hits += 1
-                    return t
+        cached = self.cached(op_key, tactics)
+        if cached is not None:
+            return cached
         if not self.enabled:
             return tactics[0]
 

@@ -515,7 +515,7 @@ def _paged_kernel(
 _VMEM_BUDGET = 10 * 1024 * 1024
 
 
-def choose_tiles(
+def tile_candidates(
     *,
     num_kv_heads: int,
     tile_q: int,
@@ -527,8 +527,8 @@ def choose_tiles(
     kv_chunk_size: int,
     head_sliceable: bool,
     tile_k: Optional[int] = None,
-) -> Tuple[int, int]:
-    """Pick (h_blk, tile_k) under the VMEM budget.
+):
+    """Enumerate VMEM-legal (h_blk, tile_k) choices, heuristic first.
 
     The kernel holds double-buffered KV tiles + softmax state for h_blk kv
     heads. HND caches (head axis is the slow HBM dim) can be processed in
@@ -576,13 +576,24 @@ def choose_tiles(
             break
         tk //= 2
     if not cands:
-        return num_kv_heads, tile_k  # let Mosaic report the OOM
+        return [(num_kv_heads, tile_k)]  # let Mosaic report the OOM
     preferred = [c for c in cands if c[0] >= min(512, tile_k)]
     pool = preferred or cands
     calls = min(num_kv_heads // h for _, h in pool)
     pool = [c for c in pool if num_kv_heads // c[1] == calls]
     tk, h = max(pool)
-    return h, tk
+    # heuristic winner first; remaining VMEM-legal candidates are the
+    # autotuner's tactic space
+    rest = sorted(
+        [(hh, tt) for tt, hh in cands if (hh, tt) != (h, tk)],
+        key=lambda c: -c[1],
+    )
+    return [(h, tk)] + rest
+
+
+def choose_tiles(**kwargs) -> Tuple[int, int]:
+    """Heuristic (h_blk, tile_k) — first entry of tile_candidates."""
+    return tile_candidates(**kwargs)[0]
 
 
 def batch_paged_attention_run(
@@ -651,7 +662,7 @@ def batch_paged_attention_run(
         sm_scale = sm_scale * _E4M3_SHIFT_SCALE
         v_scale = v_scale * _E4M3_SHIFT_SCALE
 
-    h_blk, tile_k = choose_tiles(
+    cands = tile_candidates(
         num_kv_heads=num_kv_heads,
         tile_q=tile_q,
         d_pad=d_pad,
@@ -663,8 +674,39 @@ def batch_paged_attention_run(
         head_sliceable=(not ragged and kv_layout == TensorLayout.HND),
         tile_k=None,  # prefer the full chunk resident (nsub==1 -> dedup)
     )
-    if ragged:
-        page_size = tile_k
+    h_blk, tile_k = _select_tiles(
+        cands,
+        q_packed=q_packed, k_cache=k_cache, v_cache=v_cache,
+        kv_indices=kv_indices, plan_arrays=plan_arrays,
+        plan_meta=plan_meta, causal=causal, sm_scale=sm_scale,
+        v_scale=v_scale, kv_dequant=kv_dequant, window_left=window_left,
+        variant=variant, variant_params=variant_params,
+        kv_layout=kv_layout, ragged=ragged, work_mask=work_mask,
+        interpret=interpret, d_pad=d_pad, dv_pad=dv_pad,
+        num_kv_heads=num_kv_heads, tile_q=tile_q,
+    )
+    return _execute_tiles(
+        h_blk, tile_k,
+        q_packed=q_packed, k_cache=k_cache, v_cache=v_cache,
+        kv_indices=kv_indices, plan_arrays=plan_arrays,
+        plan_meta=plan_meta, causal=causal, sm_scale=sm_scale,
+        v_scale=v_scale, kv_dequant=kv_dequant, window_left=window_left,
+        variant=variant, variant_params=variant_params,
+        kv_layout=kv_layout, ragged=ragged, work_mask=work_mask,
+        interpret=interpret, d_pad=d_pad, dv_pad=dv_pad,
+        num_kv_heads=num_kv_heads, tile_q=tile_q,
+    )
+
+
+def _execute_tiles(
+    h_blk, tile_k, *, q_packed, k_cache, v_cache, kv_indices, plan_arrays,
+    plan_meta, causal, sm_scale, v_scale, kv_dequant, window_left, variant,
+    variant_params, kv_layout, ragged, work_mask, interpret, d_pad, dv_pad,
+    num_kv_heads, tile_q,
+):
+    page_size = tile_k if ragged else (
+        k_cache.shape[2] if kv_layout == TensorLayout.HND else k_cache.shape[1]
+    )
     nsub = plan_meta.kv_chunk_size // tile_k
     if kv_dequant == "e4m3":
         assert tile_k % 4 == 0, (
@@ -709,6 +751,68 @@ def batch_paged_attention_run(
         kv_layout=kv_layout, ragged=ragged, interpret=interpret,
         d_pad=d_pad, dv_pad=dv_pad, work_mask=work_mask,
     )
+
+
+def _select_tiles(cands, **ctx):
+    """Pick (h_blk, tile_k) from the VMEM-legal candidates: persisted
+    autotuner winner if present, else — inside an ``autotune()`` region on
+    concrete (non-traced) arrays — profile every candidate with the
+    differential bencher and persist the winner; else the heuristic
+    (reference autotuner.py:349 choose_one wiring)."""
+    if len(cands) == 1:
+        return cands[0]
+    from flashinfer_tpu.autotuner import AutoTuner, TunableRunner
+
+    pm = ctx["plan_meta"]
+    op_key = (
+        f"paged_attn::h{ctx['num_kv_heads']}xd{ctx['d_pad']}"
+        f"x{ctx['dv_pad']}::tq{ctx['tile_q']}::chunk{pm.kv_chunk_size}"
+        f"::T{pm.num_work_items}::kv{ctx['k_cache'].dtype.name}"
+        f"::{ctx['kv_dequant']}::{'ragged' if ctx['ragged'] else ctx['kv_layout'].name}"
+    )
+    tactics = [{"h_blk": h, "tile_k": tk} for h, tk in cands]
+    tuner = AutoTuner.get()
+    sel = tuner.cached(op_key, tactics)
+    if sel is None and tuner.enabled and not isinstance(
+        ctx["q_packed"], jax.core.Tracer
+    ):
+
+        class _Runner(TunableRunner):
+            def get_valid_tactics(self):
+                return tactics
+
+            def run(self, tactic, *args):
+                return _execute_tiles(
+                    tactic["h_blk"], tactic["tile_k"], **ctx
+                )
+
+        from flashinfer_tpu.testing.utils import bench_tpu_time_differential
+
+        def time_tactic(tactic):
+            # big arrays ride as scan invariants (never closure-captured:
+            # they would become HLO constants) and a tiny-but-nonzero
+            # reduction of the output chains the carry so iterations
+            # serialize and nothing is DCE'd
+            def step(carry, kc, vc, ki, wm, *pa):
+                o, _ = _execute_tiles(
+                    tactic["h_blk"], tactic["tile_k"],
+                    **{**ctx, "q_packed": carry, "k_cache": kc,
+                       "v_cache": vc, "kv_indices": ki, "work_mask": wm,
+                       "plan_arrays": tuple(pa)},
+                )
+                dep = jnp.sum(o.astype(jnp.float32)) * 1e-30
+                return carry + dep.astype(carry.dtype)
+
+            return bench_tpu_time_differential(
+                step, ctx["q_packed"], ctx["k_cache"], ctx["v_cache"],
+                ctx["kv_indices"], ctx["work_mask"], *ctx["plan_arrays"],
+                n_short=2, n_long=10, repeats=3,
+            )
+
+        sel = tuner.choose_one(op_key, _Runner(), time_tactic=time_tactic)
+    if sel is not None:
+        return sel["h_blk"], sel["tile_k"]
+    return cands[0]
 
 
 

@@ -210,6 +210,7 @@ def _mla_paged_run(
     sm_scale: float,
     tile_k: int,
     interpret: Optional[bool],
+    _tuned: bool = False,  # True inside a tuning probe (skip re-selection)
 ) -> Tuple[jax.Array, jax.Array]:
     if interpret is None:
         interpret = default_interpret()
@@ -222,6 +223,55 @@ def _mla_paged_run(
     tile_k = min(tile_k, plan_meta.kv_chunk_size)
     tile_k = max(tile_k - tile_k % page_size, page_size)
     assert plan_meta.kv_chunk_size % tile_k == 0
+
+    # autotuner: persisted winner overrides the default tile_k (reference
+    # autotuner.py:349; tactics = page-aligned divisors of the chunk)
+    from flashinfer_tpu.autotuner import AutoTuner
+
+    cand_tks = [
+        tk for tk in (128, 256, 512, 1024, 2048)
+        if tk % page_size == 0 and plan_meta.kv_chunk_size % tk == 0
+    ] or [tile_k]
+    if tile_k not in cand_tks:
+        cand_tks.append(tile_k)
+    tactics = [{"tile_k": tk} for tk in sorted(cand_tks)]
+    op_key = (
+        f"mla_paged::ckv{d_ckv}xkpe{d_kpe}::tq{tile_q}"
+        f"::chunk{plan_meta.kv_chunk_size}::T{T}::{ckv_cache.dtype.name}"
+    )
+    tuner = AutoTuner.get()
+    sel = None if _tuned else tuner.cached(op_key, tactics)
+    if sel is None and not _tuned and tuner.enabled and len(tactics) > 1 \
+            and not isinstance(q_ckv_packed, jax.core.Tracer):
+        from flashinfer_tpu.autotuner import TunableRunner
+        from flashinfer_tpu.testing.utils import bench_tpu_time_differential
+
+        class _Runner(TunableRunner):
+            def get_valid_tactics(self):
+                return tactics
+
+            def run(self, tactic, *args):
+                raise NotImplementedError  # timed via time_tactic
+
+        def time_tactic(tactic):
+            def step(carry, qpe, ckv, kpe, ki, *pa):
+                o, _ = _mla_paged_run(
+                    carry, qpe, ckv, kpe, ki, tuple(pa),
+                    plan_meta=plan_meta, causal=causal, sm_scale=sm_scale,
+                    tile_k=tactic["tile_k"], interpret=interpret,
+                    _tuned=True,
+                )
+                dep = jnp.sum(o.astype(jnp.float32)) * 1e-30
+                return carry + dep.astype(carry.dtype)
+
+            return bench_tpu_time_differential(
+                step, q_ckv_packed, q_pe_packed, ckv_cache, kpe_cache,
+                kv_indices, *plan_arrays, n_short=2, n_long=10, repeats=3,
+            )
+
+        sel = tuner.choose_one(op_key, _Runner(), time_tactic=time_tactic)
+    if sel is not None:
+        tile_k = sel["tile_k"]
     nsub = plan_meta.kv_chunk_size // tile_k
 
     grid_spec = pltpu.PrefetchScalarGridSpec(

@@ -118,6 +118,63 @@ def route_tokens(
     return ids.astype(jnp.int32), scales.astype(jnp.float32)
 
 
+def _select_moe_gemm_dtype(hidden_states, w13, w2, group_sizes, gated_act):
+    """Autotuned accumulation dtype for the gate/up ragged GEMM (reference
+    autotuner.py:349 drives cutlass MoE tactic ids the same way): 'input'
+    halves the activation-pass HBM for bf16 models; 'f32' wins when XLA
+    fuses the activation into the GEMM epilogue. Consults the persisted
+    winner at trace time; profiles inside autotune() on concrete arrays."""
+    from flashinfer_tpu.autotuner import AutoTuner, TunableRunner
+
+    in_dt = hidden_states.dtype
+    if in_dt == jnp.float32:
+        return jnp.float32
+    m, hidden = hidden_states.shape
+    e, two_inter, _ = w13.shape
+    tactics = [{"h1_acc": "input"}, {"h1_acc": "f32"}]
+    op_key = f"fused_moe_h1::m{m}::e{e}::h{hidden}::i2{two_inter}::{in_dt.name}"
+    tuner = AutoTuner.get()
+    sel = tuner.cached(op_key, tactics)
+    if sel is None and tuner.enabled and not isinstance(
+        hidden_states, jax.core.Tracer
+    ):
+        from flashinfer_tpu.testing.utils import bench_tpu_time_differential
+
+        act = silu_and_mul if gated_act == GatedActType.SwiGlu else gelu_and_mul
+
+        class _Runner(TunableRunner):
+            def get_valid_tactics(self):
+                return tactics
+
+            def run(self, tactic, *args):
+                raise NotImplementedError  # timed via time_tactic
+
+        def time_tactic(tactic):
+            acc = in_dt if tactic["h1_acc"] == "input" else jnp.float32
+
+            def step(carry, w13a, w2a, gs):
+                h1 = jax.lax.ragged_dot(
+                    carry, jnp.swapaxes(w13a, 1, 2), gs,
+                    preferred_element_type=acc,
+                )
+                h2 = jax.lax.ragged_dot(
+                    act(h1), jnp.swapaxes(w2a, 1, 2), gs,
+                    preferred_element_type=jnp.float32,
+                )
+                dep = jnp.sum(h2) * 1e-30
+                return carry + dep.astype(carry.dtype)
+
+            return bench_tpu_time_differential(
+                step, hidden_states, w13, w2, group_sizes,
+                n_short=2, n_long=10, repeats=3,
+            )
+
+        sel = tuner.choose_one(op_key, _Runner(), time_tactic=time_tactic)
+    if sel is not None and sel["h1_acc"] == "f32":
+        return jnp.float32
+    return in_dt
+
+
 def _permute_by_expert(expert_ids: jax.Array, num_experts: int):
     """Stable sort of (token, k)-pairs by expert. Returns (order [m*k],
     group_sizes [e])."""
@@ -166,12 +223,14 @@ def fused_moe(
     token_of = order // top_k
     x_sorted = hidden_states[token_of]  # [m*k, hidden]
 
-    # First GEMM outputs in the input dtype: the MXU accumulates in f32
-    # internally, and an f32 [m*k, 2*inter] intermediate would cost 2x HBM
-    # on the act pass for bf16 models. The second (down-projection) GEMM
+    # First GEMM outputs in the input dtype by default: the MXU accumulates
+    # in f32 internally, and an f32 [m*k, 2*inter] intermediate would cost
+    # 2x HBM on the act pass for bf16 models. The autotuner can flip this
+    # to f32 per shape bucket (XLA sometimes fuses the act into the GEMM,
+    # making the wide intermediate free). The second (down-projection) GEMM
     # keeps its f32 accumulator: its output feeds the f32 top-k combine
     # anyway, so full-precision accumulation over inter_size is free.
-    cdt = hidden_states.dtype
+    cdt = _select_moe_gemm_dtype(x_sorted, w13, w2, group_sizes, gated_act)
     h1 = jax.lax.ragged_dot(
         x_sorted, jnp.swapaxes(w13, 1, 2), group_sizes,
         preferred_element_type=cdt,

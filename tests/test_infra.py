@@ -4,6 +4,7 @@ native JIT registry (SURVEY.md §2.4 parity components)."""
 import json
 import os
 
+import jax.numpy as jnp
 import numpy as np
 import pytest
 
@@ -141,3 +142,126 @@ def test_jit_registry_stats():
         pytest.skip("native runtime not buildable")
     stats = jit_registry.get_stats()
     assert "fi_native" in stats
+
+
+def test_autotuner_drives_attention_tiles(tmp_path, monkeypatch):
+    """A persisted winner changes the tile the paged kernel runs with
+    (VERDICT item 4: call sites in batch.py; reference autotuner.py:349)."""
+    import json
+
+    import flashinfer_tpu as fi
+    from flashinfer_tpu import autotuner as at
+    from flashinfer_tpu.ops.attention.kernels import paged as paged_mod
+
+    seen = []
+    real = paged_mod._execute_tiles
+
+    def spy(h_blk, tile_k, **ctx):
+        seen.append((h_blk, tile_k))
+        return real(h_blk, tile_k, **ctx)
+
+    monkeypatch.setattr(paged_mod, "_execute_tiles", spy)
+    monkeypatch.setattr(at, "get_config_path",
+                        lambda: str(tmp_path / "cfg.json"))
+    at.AutoTuner._instance = None
+
+    rng = np.random.default_rng(0)
+    hq, hkv, d, ps = 4, 2, 64, 8
+    kv_lens = [48, 48]
+    pages = [kv // ps for kv in kv_lens]
+    indptr = np.concatenate([[0], np.cumsum(pages)])
+    indices = np.arange(indptr[-1], dtype=np.int32)
+    last = np.full(2, ps, np.int32)
+    kc = jnp.asarray(rng.standard_normal((indptr[-1] + 2, hkv, ps, d)),
+                     jnp.float32)
+    vc = jnp.asarray(rng.standard_normal((indptr[-1] + 2, hkv, ps, d)),
+                     jnp.float32)
+    q = jnp.asarray(rng.standard_normal((2, hq, d)), jnp.float32)
+
+    def run_once():
+        w = fi.BatchDecodeWithPagedKVCacheWrapper(backend="pallas")
+        w.plan(indptr, indices, last, hq, hkv, d, ps,
+               kv_len_arr=np.asarray(kv_lens))
+        return np.asarray(w.run(q, (kc, vc), interpret=True))
+
+    base = run_once()
+    assert seen, "kernel not invoked through _execute_tiles"
+    default_tiles = seen[-1]
+
+    # persist a different (still-legal) tile as the winner and re-run
+    from flashinfer_tpu.ops.attention.kernels.paged import tile_candidates
+
+    cands = tile_candidates(
+        num_kv_heads=hkv, tile_q=8, d_pad=128, dv_pad=128, kv_itemsize=4,
+        q_itemsize=4, page_size=ps, kv_chunk_size=default_tiles[1],
+        head_sliceable=True)
+    # pick any non-default candidate
+    alt = next(((h, tk) for h, tk in cands if (h, tk) != default_tiles),
+               None)
+    if alt is None:
+        pytest.skip("only one legal tile for this shape")
+    # op_key must match the kernel's: reproduce by monkeypatching cached()
+    forced = {"h_blk": alt[0], "tile_k": alt[1]}
+    monkeypatch.setattr(
+        at.AutoTuner, "cached",
+        lambda self, op_key, tactics: (
+            forced if any(t == forced for t in tactics) else None))
+    tuned = run_once()
+    assert seen[-1] == alt, (seen[-1], alt)
+    np.testing.assert_allclose(base, tuned, rtol=2e-4, atol=2e-4)
+
+
+def test_autotune_region_profiles_and_persists(tmp_path, monkeypatch):
+    """autotune() on concrete arrays profiles tactics and persists the
+    winner (fused_moe h1 accumulation dtype call site)."""
+    import json
+
+    from flashinfer_tpu import autotuner as at
+    from flashinfer_tpu.ops.fused_moe import fused_moe, route_tokens
+
+    monkeypatch.setattr(at, "get_config_path",
+                        lambda: str(tmp_path / "cfg.json"))
+    at.AutoTuner._instance = None
+
+    rng = np.random.default_rng(1)
+    m, hidden, inter, e, k = 16, 64, 32, 4, 2
+    x = jnp.asarray(rng.standard_normal((m, hidden)) * 0.2, jnp.bfloat16)
+    w13 = jnp.asarray(rng.standard_normal((e, 2 * inter, hidden)) * 0.1,
+                      jnp.bfloat16)
+    w2 = jnp.asarray(rng.standard_normal((e, hidden, inter)) * 0.1,
+                     jnp.bfloat16)
+    logits = jnp.asarray(rng.standard_normal((m, e)), jnp.float32)
+    ids, scales = route_tokens(logits, k)
+
+    with at.autotune():
+        out = fused_moe(x, w13, w2, ids, scales)
+    assert out.shape == (m, hidden)
+    cfg = json.load(open(tmp_path / "cfg.json"))
+    assert any(key.startswith("fused_moe_h1") for key in cfg), cfg
+    tuner = at.AutoTuner.get()
+    assert tuner.stats.profiled_tactics >= 2
+
+
+def test_fused_moe_bf16_vs_f32_oracle():
+    """bf16 fused_moe numerics stay within tolerance of an all-f32 oracle
+    (advisor: bf16 GEMM1 accumulation must be quantified)."""
+    from flashinfer_tpu.ops.fused_moe import fused_moe, route_tokens
+
+    rng = np.random.default_rng(3)
+    m, hidden, inter, e, k = 32, 128, 64, 4, 2
+    xf = rng.standard_normal((m, hidden)).astype(np.float32) * 0.2
+    w13f = rng.standard_normal((e, 2 * inter, hidden)).astype(np.float32) * 0.1
+    w2f = rng.standard_normal((e, hidden, inter)).astype(np.float32) * 0.1
+    logits = jnp.asarray(rng.standard_normal((m, e)), jnp.float32)
+    ids, scales = route_tokens(logits, k)
+
+    ref = np.asarray(fused_moe(jnp.asarray(xf), jnp.asarray(w13f),
+                               jnp.asarray(w2f), ids, scales))
+    out = np.asarray(
+        fused_moe(jnp.asarray(xf, jnp.bfloat16),
+                  jnp.asarray(w13f, jnp.bfloat16),
+                  jnp.asarray(w2f, jnp.bfloat16), ids, scales),
+        np.float32)
+    # bf16 inputs + bf16 GEMM1 output: relative error bounded by bf16 eps
+    # amplified by the reduction; keep a conservative bound
+    np.testing.assert_allclose(out, ref, rtol=0.06, atol=0.06)
