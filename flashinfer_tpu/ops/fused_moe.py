@@ -330,8 +330,12 @@ def trtllm_fp8_block_scale_moe(
     def deq_block(w, s):
         # w [e, n, k] e4m3, s [e, n/128, k/128]
         e, n, k = w.shape
+        from flashinfer_tpu.ops.fp8 import fp8_to_bf16
+
         sn = jnp.repeat(jnp.repeat(s.astype(jnp.float32), 128, 1), 128, 2)
-        return (w.astype(jnp.float32) * sn[:, :n, :k]).astype(jnp.bfloat16)
+        # e4m3 -> bf16 via the bit decode; float8 astype is ~8x slower
+        return (fp8_to_bf16(w).astype(jnp.float32) * sn[:, :n, :k]).astype(
+            jnp.bfloat16)
 
     ids, scales = route_tokens(
         routing_logits, top_k, routing_method_type,
@@ -340,8 +344,11 @@ def trtllm_fp8_block_scale_moe(
     )
     hs = hidden_states
     if hidden_states_scale is not None:
+        from flashinfer_tpu.ops.fp8 import fp8_to_bf16
+
         k_tiles = hs.shape[1] // 128
-        hsf = hs.astype(jnp.float32).reshape(hs.shape[0], k_tiles, 128)
+        hsf = fp8_to_bf16(hs).astype(jnp.float32).reshape(
+            hs.shape[0], k_tiles, 128)
         hs = (hsf * hidden_states_scale.astype(jnp.float32)[..., None]).reshape(
             hs.shape[0], -1
         ).astype(jnp.bfloat16)

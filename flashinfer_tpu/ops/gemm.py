@@ -223,15 +223,18 @@ def group_gemm_fp8_nt_groupwise(
     bk = 128
     k_tiles = k // bk
     group_sizes = (m_indptr[1:] - m_indptr[:-1]).astype(jnp.int32)
-    # dequantize a rowwise-blockwise: [total_m, k]
-    a_f = a.astype(jnp.float32).reshape(a.shape[0], k_tiles, bk)
+    from flashinfer_tpu.ops.fp8 import fp8_to_bf16
+
+    # dequantize a rowwise-blockwise (e4m3 via the fast bit decode —
+    # the float8-dtype convert is software-emulated on pre-v6 TPUs)
+    a_f = fp8_to_bf16(a).astype(jnp.float32).reshape(a.shape[0], k_tiles, bk)
     a_f = a_f * a_scale.astype(jnp.float32)[:, :, None]
     a_f = a_f.reshape(a.shape[0], k).astype(jnp.bfloat16)
     # dequantize b: [g, n, k]
     n_blk = b_scale.shape[2]
     gn = cdiv(n, n_blk)
     bs = jnp.repeat(b_scale.astype(jnp.float32), gn, axis=2)[:, :, :n]
-    b_f = b.astype(jnp.float32).reshape(g, n, k_tiles, bk)
+    b_f = fp8_to_bf16(b).astype(jnp.float32).reshape(g, n, k_tiles, bk)
     b_f = b_f * jnp.swapaxes(bs, 1, 2)[:, :, :, None]
     b_f = b_f.reshape(g, n, k).astype(jnp.bfloat16)
     out = jax.lax.ragged_dot(
@@ -259,7 +262,9 @@ def group_gemm_mxfp4_nt_groupwise(
     bk = 128
     k_tiles = k // bk
     group_sizes = (m_indptr[1:] - m_indptr[:-1]).astype(jnp.int32)
-    a_f = a.astype(jnp.float32).reshape(a.shape[0], k_tiles, bk)
+    from flashinfer_tpu.ops.fp8 import fp8_to_bf16
+
+    a_f = fp8_to_bf16(a).astype(jnp.float32).reshape(a.shape[0], k_tiles, bk)
     a_f = (a_f * a_scale.astype(jnp.float32)[:, :, None]).reshape(-1, k)
     b_f = fp4_dequantize(b, b_scale, sf_vec_size=32, sf_use_ue8m0=True,
                          dtype=jnp.bfloat16)
