@@ -442,6 +442,12 @@ class BatchAttention:
         kv_len_arr=None,
         variant_params: Any = None,
         work_capacity: Optional[int] = None,
+        min_bucket_rows: int = 0,  # floor for the padded-row bucket (SPMD
+        # serving: every dp replica must produce an identical PlanMeta)
+        min_max_splits: int = 1,  # floor for merge_src's split dimension
+        force_kv_major: Optional[bool] = None,  # pin the kv-major reorder
+        # flag (it otherwise flips with the prefill/decode mix, changing
+        # PlanMeta — SPMD replicas must agree)
         custom_mask=None,  # dense bool, concat of per-request [qo_i, kv_i]
         packed_custom_mask=None,  # uint8 packbits of the above
         mask_indptr=None,  # [b+1] BIT offsets per request
@@ -487,13 +493,16 @@ class BatchAttention:
         padded_lens = np.maximum(round_up_np(packed_lens, tile_q), 0)
         padded_indptr = np.concatenate([[0], np.cumsum(padded_lens)])
         total_padded = int(padded_indptr[-1])
-        bucket_rows = _bucket(max(total_padded, tile_q))
+        bucket_rows = max(_bucket(max(total_padded, tile_q)), min_bucket_rows)
 
         # Prefill batches (multiple qo tiles per request) run the kv-major
         # order: KV chunk == kernel tile, items sorted so consecutive items
         # share a KV tile, DMA-dedup keeps it VMEM-resident (reads KV once
         # per request instead of once per qo tile).
-        prefill_mode = bool(np.any(packed_lens > tile_q))
+        prefill_mode = (
+            force_kv_major if force_kv_major is not None
+            else bool(np.any(packed_lens > tile_q))
+        )
         chunk = kv_chunk_size
         if prefill_mode and kv_chunk_size is None:
             # resident KV tile sized by the kernel's own VMEM budget: the
@@ -614,7 +623,8 @@ class BatchAttention:
         self._variant_resolved = variant
         self._variant_params = variant_params
 
-        merge_src = build_merge_src(merge_out_row, bucket_rows)
+        merge_src = build_merge_src(merge_out_row, bucket_rows,
+                                    min_splits=min_max_splits)
         meta = PlanMeta(
             tile_q=plan.tile_q,
             kv_chunk_size=plan.kv_chunk_size,

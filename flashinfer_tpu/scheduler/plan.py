@@ -343,7 +343,7 @@ def _plan_attention_numpy(
 
 
 def build_merge_src(
-    merge_out_row: np.ndarray, bucket_rows: int
+    merge_out_row: np.ndarray, bucket_rows: int, min_splits: int = 1
 ) -> np.ndarray:
     """Invert the partial->row map into [bucket_rows, max_splits] gather
     sources (flat partial-row indices, -1 padded; max_splits is a power of 2
@@ -355,7 +355,7 @@ def build_merge_src(
     p_idx, r = p_idx[order], r[order]
     counts = np.bincount(r, minlength=bucket_rows) if len(r) else \
         np.zeros(bucket_rows, np.int64)
-    max_splits = max(int(counts.max()) if counts.size else 1, 1)
+    max_splits = max(int(counts.max()) if counts.size else 1, 1, min_splits)
     max_splits = int(next_power_of_2(max_splits))
     starts = np.concatenate([[0], np.cumsum(counts)[:-1]])
     slot = np.arange(len(p_idx)) - starts[r]
