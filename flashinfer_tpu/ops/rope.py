@@ -34,6 +34,7 @@ __all__ = [
     "apply_llama31_rope",
     "apply_llama31_rope_pos_ids",
     "apply_rope_with_cos_sin_cache",
+    "mla_rope_quantize_fp8",
     "rope_cos_sin_cache",
 ]
 
@@ -230,3 +231,46 @@ def apply_rope_with_cos_sin_cache(
     q = _apply(q, cos, sin, rotary_dim, interleave=not is_neox)
     k = _apply(k, cos, sin, rotary_dim, interleave=not is_neox)
     return q.reshape(query.shape), k.reshape(key.shape)
+
+
+def mla_rope_quantize_fp8(
+    q_rope: jax.Array,  # [nnz, num_heads, rope_dim]
+    k_rope: jax.Array,  # [nnz, rope_dim]
+    q_nope: jax.Array,  # [nnz, num_heads, nope_dim]
+    k_nope: jax.Array,  # [nnz, nope_dim]
+    cos_sin_cache: jax.Array,  # [max_pos, rope_dim] f32, cos||sin halves
+    pos_ids: jax.Array,
+    is_neox: bool = True,
+    quantize_dtype=jnp.float8_e4m3fn,
+    quant_scale_q: float = 1.0,
+    quant_scale_kv: float = 1.0,
+    **_out_compat,  # *_out preallocated-output args accepted for parity
+) -> Tuple[jax.Array, jax.Array, jax.Array, jax.Array]:
+    """Fused MLA RoPE + FP8 quantization (reference rope.py:1154
+    mla_rope_quantize_fp8 / csrc/rope.cu): apply the cos-sin-cache rotary
+    embedding to the rope parts of the MLA query/key and quantize all four
+    pieces (rope'd + nope) to e4m3 in one pass — the critical prologue of
+    the FP8 MLA path (config 4 + fp8).
+
+    On TPU the fusion is one traced expression; XLA fuses the rotate,
+    scale, and convert into a single elementwise pass over each operand.
+    Returns (q_rope_fp8, k_rope_fp8, q_nope_fp8, k_nope_fp8).
+    """
+    assert cos_sin_cache.dtype == jnp.float32, "cos_sin_cache must be f32"
+    rotary_dim = cos_sin_cache.shape[-1]
+    half = rotary_dim // 2
+    cs = cos_sin_cache[pos_ids].astype(jnp.float32)
+    cos, sin = cs[:, :half], cs[:, half:]
+    qr = _apply(q_rope, cos, sin, rotary_dim, interleave=not is_neox)
+    kr = _apply(k_rope[:, None, :], cos, sin, rotary_dim,
+                interleave=not is_neox)[:, 0]
+
+    def quant(x, scale):
+        return (x.astype(jnp.float32) * scale).astype(quantize_dtype)
+
+    return (
+        quant(qr, quant_scale_q),
+        quant(kr, quant_scale_kv),
+        quant(q_nope, quant_scale_q),
+        quant(k_nope, quant_scale_kv),
+    )

@@ -11,6 +11,7 @@ from flashinfer_tpu.parallel.collectives import (
 )
 from flashinfer_tpu.parallel.mapping import Mapping
 from flashinfer_tpu.parallel.moe import fused_moe_ep, moe_ep_capacity
+from flashinfer_tpu.parallel.pipeline import pipeline_forward
 from flashinfer_tpu.parallel.mesh import (
     MeshContext,
     make_mesh,
@@ -29,6 +30,7 @@ __all__ = [
     "MeshContext",
     "fused_moe_ep",
     "moe_ep_capacity",
+    "pipeline_forward",
     "make_mesh",
     "shard_model_specs",
     "shard_kv_cache_spec",

@@ -26,6 +26,7 @@ __all__ = [
     "annotate",
     "export_to_perfetto_trace",
     "latest_trace_path",
+    "summarize_trace",
 ]
 
 
@@ -80,3 +81,40 @@ def export_to_perfetto_trace(
         )
     shutil.copyfile(src, out_path)
     return out_path
+
+
+def summarize_trace(log_dir: str, top: int = 20):
+    """Aggregate device-side event durations from a captured trace — the
+    decoder role of the reference's profiler (its Python side parses the
+    device (tag, timestamp) buffer into spans; here the spans already exist
+    in the XLA trace and this collapses them per op name).
+
+    Returns [(name, total_ms, count)] sorted by total time, device events
+    only. Pallas kernels appear under their kernel function's name; engine
+    layers under their jax.named_scope labels.
+    """
+    import gzip
+    import json
+    import collections
+
+    path = latest_trace_path(log_dir)
+    if path is None:
+        raise FileNotFoundError(f"no trace under {log_dir}")
+    with gzip.open(path) as f:
+        t = json.load(f)
+    ev = t["traceEvents"]
+    pids = {}
+    for e in ev:
+        if e.get("ph") == "M" and e.get("name") == "process_name":
+            pids[e["pid"]] = e["args"].get("name", "")
+    agg = collections.Counter()
+    cnt = collections.Counter()
+    for e in ev:
+        if e.get("ph") == "X" and "dur" in e:
+            pname = pids.get(e["pid"], "")
+            if "TPU" in pname or "/device" in pname:
+                agg[e["name"]] += e["dur"]
+                cnt[e["name"]] += 1
+    return [
+        (name, dur / 1e3, cnt[name]) for name, dur in agg.most_common(top)
+    ]

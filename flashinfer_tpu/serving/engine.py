@@ -369,11 +369,21 @@ class LlamaServingEngine:
 # jitted device steps (module-level so the compile cache is shared)
 
 
-def _layer_forward(params, mc, layer, num_pages, x, positions, k_cache,
+def _layer_forward(*args, **kw):
+    layer = args[2]
+    with jax.named_scope(f"fi_layer_{layer}"):
+        return _layer_forward_inner(*args, **kw)
+
+
+def _layer_forward_inner(params, mc, layer, num_pages, x, positions, k_cache,
                    v_cache, dplan, page_ids, entry_ids, valid, interpret,
                    kv_scale=1.0):
     """One transformer layer over the stacked-page-space cache.
-    x: [rows, hidden]; page_ids are LOCAL (layer offset applied here)."""
+    x: [rows, hidden]; page_ids are LOCAL (layer offset applied here).
+    jax.named_scope labels nest the Pallas kernels under per-layer spans in
+    captured traces (profiler.summarize_trace) — the reference's
+    PROFILER_EVENT tag hierarchy (profiler.cuh:33) expressed as trace
+    metadata."""
     rows = x.shape[0]
     h, d = mc.hidden_size, mc.head_dim
     hq, hkv = mc.num_qo_heads, mc.num_kv_heads

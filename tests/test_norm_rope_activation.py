@@ -185,3 +185,43 @@ def test_segment_packbits():
     np.testing.assert_array_equal(
         np.asarray(packed), [np.packbits(bits[:3])[0], np.packbits(bits[3:])[0]]
     )
+
+
+def test_mla_rope_quantize_fp8():
+    """Fused MLA rope+quant equals rope-then-quantize composed by hand
+    (reference rope.py:1154)."""
+    import numpy as np
+    from flashinfer_tpu.ops.rope import (
+        apply_rope_with_cos_sin_cache,
+        mla_rope_quantize_fp8,
+        rope_cos_sin_cache,
+    )
+
+    rng = np.random.default_rng(0)
+    nnz, h, rd, nd = 6, 4, 32, 64
+    q_rope = jnp.asarray(rng.standard_normal((nnz, h, rd)), jnp.float32)
+    k_rope = jnp.asarray(rng.standard_normal((nnz, rd)), jnp.float32)
+    q_nope = jnp.asarray(rng.standard_normal((nnz, h, nd)), jnp.float32)
+    k_nope = jnp.asarray(rng.standard_normal((nnz, nd)), jnp.float32)
+    cache = rope_cos_sin_cache(128, rd)
+    pos = jnp.asarray(rng.integers(0, 128, nnz), jnp.int32)
+
+    qr8, kr8, qn8, kn8 = mla_rope_quantize_fp8(
+        q_rope, k_rope, q_nope, k_nope, cache, pos,
+        quant_scale_q=0.5, quant_scale_kv=0.25,
+    )
+    assert qr8.dtype == jnp.float8_e4m3fn
+
+    # oracle: rope via the public cos-sin-cache op, then quantize
+    qq, kk = apply_rope_with_cos_sin_cache(
+        pos, q_rope.reshape(nnz, h * rd), k_rope, rd, cache)
+    ref_qr = (qq.reshape(nnz, h, rd).astype(jnp.float32) * 0.5
+              ).astype(jnp.float8_e4m3fn)
+    ref_kr = (kk.astype(jnp.float32) * 0.25).astype(jnp.float8_e4m3fn)
+    np.testing.assert_array_equal(
+        np.asarray(qr8, np.float32), np.asarray(ref_qr, np.float32))
+    np.testing.assert_array_equal(
+        np.asarray(kr8, np.float32), np.asarray(ref_kr, np.float32))
+    np.testing.assert_array_equal(
+        np.asarray(qn8, np.float32),
+        np.asarray((q_nope * 0.5).astype(jnp.float8_e4m3fn), np.float32))

@@ -261,3 +261,31 @@ def test_fused_moe_ep_capacity_drop():
     # per ep-rank of 4 tokens, the first 2 got through, the rest dropped
     kept = np.abs(out).sum(axis=1) > 0
     assert kept.reshape(4, 4)[:, :2].all() and not kept.reshape(4, 4)[:, 2:].any()
+
+
+# ---------------- pipeline parallelism ----------------
+
+
+def test_pipeline_forward_matches_sequential():
+    """ppermute microbatch pipeline == sequentially composed stages
+    (the mechanism the reference's pp rank math implies but never ships)."""
+    from flashinfer_tpu.parallel import pipeline_forward
+
+    pp, num_micro, mb, d = 4, 6, 2, 16
+    mesh = _mesh1d("pp", pp)
+    rng = np.random.default_rng(7)
+    Ws = jnp.asarray(rng.standard_normal((pp, d, d)) * 0.3, jnp.float32)
+    bs = jnp.asarray(rng.standard_normal((pp, d)) * 0.1, jnp.float32)
+    x = jnp.asarray(rng.standard_normal((num_micro, mb, d)), jnp.float32)
+
+    def stage(params, a):
+        W, b = params
+        return jnp.tanh(a @ W + b)
+
+    out = pipeline_forward(stage, (Ws, bs), x, mesh)
+
+    ref = x
+    for s in range(pp):
+        ref = jnp.tanh(ref @ Ws[s] + bs[s])
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=2e-5, atol=2e-5)
