@@ -29,6 +29,9 @@ from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
+from jax.experimental import pallas as pl
+
+from flashinfer_tpu.utils import round_up
 
 __all__ = [
     "softmax",
@@ -241,9 +244,14 @@ def top_k_top_p_sampling_from_probs(
     indices: Optional[jax.Array] = None,
     filter_apply_order: str = "top_k_first",
     deterministic: bool = True,
+    backend: str = "auto",
 ) -> jax.Array:
     """Joint top-k + top-p (reference sampling.py:
-    top_k_top_p_sampling_from_probs; fused kernel sampling.cuh:1135)."""
+    top_k_top_p_sampling_from_probs; fused kernel sampling.cuh:1135).
+    backend: "auto" uses the single-pass Pallas kernel on TPU for large
+    vocabularies (Gumbel-max draw — same distribution, different stream
+    than the XLA inverse-CDF path), "xla" forces the jnp path, "pallas"
+    forces the kernel."""
     if indices is not None:
         probs = probs[indices]
     probs = probs.astype(jnp.float32)
@@ -251,6 +259,13 @@ def top_k_top_p_sampling_from_probs(
     k = _as_row_param(top_k, batch, jnp.int32)
     p = _as_row_param(top_p, batch)
     if filter_apply_order == "top_k_first":
+        if backend == "pallas" or (
+            backend == "auto" and probs.shape[-1] >= 4096 and _pallas_ok()
+        ):
+            # single-pass fused kernel: the whole bisection runs on the
+            # VMEM-resident row tile, HBM touched once (~60x less traffic
+            # than the XLA path's ~64 full-row passes)
+            return _fused_top_k_top_p_sample(probs, key, k, p)
         tk = _top_k_threshold(probs, k)
         probs1 = jnp.where(probs > tk, probs, 0.0)
         probs1 = probs1 / jnp.sum(probs1, axis=-1, keepdims=True)
@@ -400,3 +415,135 @@ def chain_speculative_sampling(
     ).astype(jnp.int32)
     accepted = first_rej.astype(jnp.int32)
     return out, accepted, accepted
+
+
+def _pallas_ok() -> bool:
+    from flashinfer_tpu.utils import default_interpret, on_tpu
+
+    return on_tpu() and not default_interpret()
+
+
+# ---------------------------------------------------------------------------
+# fused single-pass sampler (Pallas)
+# ---------------------------------------------------------------------------
+
+
+def _fused_sampler_kernel(seed_ref, probs_ref, k_ref, p_ref, out_ref,
+                          scratch_ref, *, vocab: int, rows: int):
+    """All of top-k bisect -> renorm -> top-p bisect -> Gumbel-max sample on
+    a VMEM-resident row tile. The XLA path re-reads [batch, vocab] from HBM
+    ~64x (32 bisection iterations x 2 thresholds); here HBM is touched
+    exactly once per element — the TPU analogue of the reference's
+    single-pass rejection kernels (sampling.cuh:950, 1135)."""
+    import jax.experimental.pallas.tpu as pltpu_mod  # noqa: F401
+
+    probs = probs_ref[:].astype(jnp.float32)  # [rows, Vpad]
+    vpad = probs.shape[1]
+    lane = jax.lax.broadcasted_iota(jnp.int32, (rows, vpad), 1)
+    probs = jnp.where(lane < vocab, probs, 0.0)
+    k = k_ref[:]  # [rows, 1] int32
+    p = p_ref[:]  # [rows, 1] f32
+
+    def bisect(pr, ok_fn):
+        lo = jnp.zeros((rows, 1), jnp.float32)
+        hi = jnp.max(pr, axis=-1, keepdims=True)
+
+        def body(_, carry):
+            lo, hi = carry
+            mid = (lo + hi) * 0.5
+            ok = ok_fn(pr, mid)
+            lo = jnp.where(ok, mid, lo)
+            hi = jnp.where(ok, hi, mid)
+            return lo, hi
+
+        lo, hi = jax.lax.fori_loop(0, _BISECT_ITERS, body, (lo, hi))
+        return lo
+
+    # top-k threshold (mirrors _top_k_threshold)
+    tk = bisect(
+        probs,
+        lambda pr, mid: jnp.sum(
+            (pr > mid).astype(jnp.int32), axis=-1, keepdims=True
+        ) >= k,
+    )
+    tk = jnp.where(k >= vocab, -1.0, tk)
+    p1 = jnp.where(probs > tk, probs, 0.0)
+    p1 = p1 / jnp.sum(p1, axis=-1, keepdims=True)
+    scratch_ref[:] = p1
+
+    # top-p threshold on the renormalized distribution (_top_p_threshold)
+    p1 = scratch_ref[:]
+    tp = bisect(
+        p1,
+        lambda pr, mid: jnp.sum(
+            jnp.where(pr > mid, pr, 0.0), axis=-1, keepdims=True
+        ) >= p,
+    )
+    tp = jnp.where(p >= 1.0, -1.0, tp)
+
+    # Gumbel-max categorical draw over the masked set (argmax replaces the
+    # XLA path's inverse-CDF cumsum — no prefix scan on 128k lanes)
+    from jax.experimental.pallas import tpu as pltpu
+
+    pltpu.prng_seed(seed_ref[0] + pl.program_id(0))
+    bits = pltpu.prng_random_bits((rows, vpad))
+    # uint32 -> f32 casts don't lower in Mosaic; shift to 24 bits and
+    # bitcast through int32 (positive range) first
+    u24 = jax.lax.shift_right_logical(
+        pltpu.bitcast(bits, jnp.uint32), jnp.uint32(8)
+    )
+    u = (
+        pltpu.bitcast(u24, jnp.int32).astype(jnp.float32)
+        * (1.0 / (1 << 24))
+        + 1e-7
+    )
+    g = -jnp.log(-jnp.log(u))
+    keep = jnp.logical_and(p1 > tp, lane < vocab)
+    scored = jnp.where(keep, jnp.log(p1) + g, -jnp.inf)
+    out_ref[:] = jnp.argmax(scored, axis=-1, keepdims=True).astype(jnp.int32)
+
+
+def _fused_top_k_top_p_sample(probs, key, k, p, interpret=False):
+    """Pallas path of top_k_top_p_sampling_from_probs (top_k_first order).
+    probs f32/bf16 [batch, vocab]; k [batch,1] i32; p [batch,1] f32."""
+    from jax.experimental import pallas as pl_mod  # noqa: F401
+
+    batch, vocab = probs.shape
+    rows = 8
+    vpad = round_up(vocab, 128)
+    bpad = round_up(batch, rows)
+    probs = jnp.pad(probs, ((0, bpad - batch), (0, vpad - vocab)))
+    k = jnp.pad(k, ((0, bpad - batch), (0, 0)), constant_values=1)
+    p = jnp.pad(p, ((0, bpad - batch), (0, 0)), constant_values=1.0)
+    seed = jax.random.randint(key, (1,), 0, 2**31 - 1, jnp.int32)
+
+    from jax.experimental.pallas import tpu as pltpu
+
+    out = pl.pallas_call(
+        functools.partial(_fused_sampler_kernel, vocab=vocab, rows=rows),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(bpad // rows,),
+            in_specs=[
+                pl.BlockSpec((rows, vpad), lambda i, *s: (i, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((rows, 1), lambda i, *s: (i, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((rows, 1), lambda i, *s: (i, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((rows, 1), lambda i, *s: (i, 0),
+                                   memory_space=pltpu.VMEM),
+            scratch_shapes=[pltpu.VMEM((rows, vpad), jnp.float32)],
+        ),
+        out_shape=jax.ShapeDtypeStruct((bpad, 1), jnp.int32),
+        # TPU-semantic interpret mode: the plain HLO interpreter has no
+        # prng_seed/prng_random_bits rules
+        interpret=pltpu.InterpretParams() if interpret else False,
+        cost_estimate=pl.CostEstimate(
+            flops=bpad * vpad * 70,
+            bytes_accessed=bpad * vpad * probs.dtype.itemsize,
+            transcendentals=bpad * vpad * 3,
+        ),
+    )(seed, probs, k, p)
+    return out[:batch, 0]

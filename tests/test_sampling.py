@@ -198,3 +198,38 @@ def test_chain_speculative_sampling_reject_first():
     assert np.asarray(acc)[0] == 0
     assert out[0, 0] == 3  # resampled from residual = target
     np.testing.assert_array_equal(out[0, 1:], [-1, -1])
+
+
+def test_fused_sampler_kernel_interpret():
+    """Pallas single-pass sampler: every draw lies in the top-k/top-p set
+    and high-probability tokens dominate (Gumbel-max categorical)."""
+    from flashinfer_tpu.ops.sampling import (
+        _fused_top_k_top_p_sample,
+        top_k_renorm_probs,
+        top_p_renorm_probs,
+    )
+
+    rng = np.random.default_rng(0)
+    batch, vocab, k, p = 16, 512, 8, 0.8
+    logits = rng.standard_normal((batch, vocab)) * 3
+    probs = jnp.asarray(
+        np.exp(logits) / np.exp(logits).sum(-1, keepdims=True), jnp.float32)
+    kk = jnp.full((batch, 1), k, jnp.int32)
+    pp = jnp.full((batch, 1), p, jnp.float32)
+
+    # the admissible set per the library's own renorm ops
+    allowed = np.asarray(
+        top_p_renorm_probs(top_k_renorm_probs(probs, k), p)) > 0
+
+    draws = []
+    for i in range(20):
+        toks = np.asarray(_fused_top_k_top_p_sample(
+            probs, jax.random.PRNGKey(i), kk, pp, interpret=True))
+        draws.append(toks)
+        for b in range(batch):
+            assert allowed[b, toks[b]], (b, toks[b])
+    draws = np.stack(draws)
+    # the argmax token should be drawn most often for peaked rows
+    top_tok = np.asarray(jnp.argmax(probs, -1))
+    freq_top = (draws == top_tok[None, :]).mean()
+    assert freq_top > 0.25, freq_top
