@@ -1,8 +1,12 @@
-"""Headline benchmark: paged decode attention bandwidth vs HBM roofline.
+"""Headline benchmark: FP8 paged decode attention vs HBM roofline.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
-North-star (BASELINE.md): >=85% of HBM roofline for the paged attention
-kernel; vs_baseline = achieved_bw / (0.85 * nominal_hbm_bw).
+North-star (BASELINE.md): FP8 paged decode. value = EFFECTIVE KV bandwidth
+(bf16-equivalent logical bytes / time — fp8 halves the physical bytes, so
+effective rate above the bf16 roofline is the point of the format);
+vs_baseline = effective_bw / (0.85 * nominal_hbm_bw). The unit string
+carries the physical fp8 byte rate and the bf16 kernel's rate from the
+same session for context.
 
 Methodology (reference analogue: CUDA-event timing + CUDA-graph replay,
 flashinfer/testing/utils.py:538,855):
@@ -90,54 +94,75 @@ def main() -> None:
     )
     q0 = jnp.asarray(rng.standard_normal((BATCH, NUM_QO_HEADS, HEAD_DIM)), dtype)
 
-    wrapper = BatchDecodeWithPagedKVCacheWrapper(
-        kv_layout="HND", backend="pallas" if on_tpu else "reference"
-    )
-    wrapper.plan(
-        indptr, indices, last, NUM_QO_HEADS, NUM_KV_HEADS, HEAD_DIM, PAGE_SIZE,
-        kv_chunk_size=2048,
-    )
-
-    def step(q, _, kc, vc):
-        o = wrapper.run(q, (kc, vc))
-        # chain q through the output so scan iterations serialize
-        return q + o * jnp.bfloat16(0.001), ()
-
-    def make(n):
-        return jax.jit(
-            lambda q, kc, vc: jax.lax.scan(
-                functools.partial(step, kc=kc, vc=vc), q, None, length=n
-            )[0]
+    def time_mode(kc, vc):
+        wrapper = BatchDecodeWithPagedKVCacheWrapper(
+            kv_layout="HND", backend="pallas" if on_tpu else "reference"
+        )
+        wrapper.plan(
+            indptr, indices, last, NUM_QO_HEADS, NUM_KV_HEADS, HEAD_DIM,
+            PAGE_SIZE, kv_chunk_size=2048,
         )
 
-    def timed(f, repeats=7):
-        y = f(q0, k_cache, v_cache)
-        np.asarray(y.ravel()[0])  # warm: compile + run
-        times = []
-        for _ in range(repeats):
-            t0 = time.perf_counter()
-            y = f(q0, k_cache, v_cache)
-            np.asarray(y.ravel()[0])
-            times.append(time.perf_counter() - t0)
-        return float(np.min(times))
+        def step(q, _, kc, vc):
+            o = wrapper.run(q, (kc, vc))
+            # chain q through the output so scan iterations serialize
+            return q + o.astype(q.dtype) * jnp.bfloat16(0.001), ()
 
-    t_short = timed(make(N_SHORT))
-    t_long = timed(make(N_LONG))
-    per_iter = (t_long - t_short) / (N_LONG - N_SHORT)
+        def make(n):
+            return jax.jit(
+                lambda q, kc, vc: jax.lax.scan(
+                    functools.partial(step, kc=kc, vc=vc), q, None, length=n
+                )[0]
+            )
 
-    kv_bytes = BATCH * KV_LEN * NUM_KV_HEADS * HEAD_DIM * 2 * 2  # k+v, bf16
-    achieved = kv_bytes / per_iter
+        def timed(f, repeats=7):
+            y = f(q0, kc, vc)
+            np.asarray(y.ravel()[0])  # warm: compile + run
+            times = []
+            for _ in range(repeats):
+                t0 = time.perf_counter()
+                y = f(q0, kc, vc)
+                np.asarray(y.ravel()[0])
+                times.append(time.perf_counter() - t0)
+            return float(np.min(times))
+
+        t_short = timed(make(N_SHORT))
+        t_long = timed(make(N_LONG))
+        return (t_long - t_short) / (N_LONG - N_SHORT)
+
+    # interleave the two modes (tunnel timing drifts between runs)
+    t_bf16, t_fp8 = [], []
+    kc8 = jax.lax.bitcast_convert_type(
+        k_cache.astype(jnp.float8_e4m3fn), jnp.int8)
+    vc8 = jax.lax.bitcast_convert_type(
+        v_cache.astype(jnp.float8_e4m3fn), jnp.int8)
+    kc8 = jax.lax.bitcast_convert_type(kc8, jnp.float8_e4m3fn)
+    vc8 = jax.lax.bitcast_convert_type(vc8, jnp.float8_e4m3fn)
+    for _ in range(2):
+        t_bf16.append(time_mode(k_cache, v_cache))
+        t_fp8.append(time_mode(kc8, vc8))
+    per_iter_bf16 = min(t_bf16)
+    per_iter = min(t_fp8)
+
+    kv_logical = BATCH * KV_LEN * NUM_KV_HEADS * HEAD_DIM * 2 * 2  # bf16-equiv
+    effective = kv_logical / per_iter
+    physical = (kv_logical // 2) / per_iter
+    bf16_bw = kv_logical / per_iter_bf16
     target = 0.85 * _nominal_bw(kind)
 
     print(
         json.dumps(
             {
-                "metric": "paged_decode_attention_read_bw",
-                "value": round(achieved / 1e9, 2),
-                "unit": f"GB/s ({per_iter*1e3:.3f} ms/iter differential-scan;"
-                        f" b{BATCH} kv{KV_LEN} h{NUM_QO_HEADS}/{NUM_KV_HEADS}"
-                        f" d{HEAD_DIM} p{PAGE_SIZE} bf16, {kind})",
-                "vs_baseline": round(achieved / target, 4),
+                "metric": "fp8_paged_decode_effective_kv_bw",
+                "value": round(effective / 1e9, 2),
+                "unit": f"GB/s bf16-equivalent ({per_iter*1e3:.3f} ms/iter"
+                        f" differential-scan; physical fp8 read"
+                        f" {physical/1e9:.0f} GB/s; bf16 kernel same-session"
+                        f" {bf16_bw/1e9:.0f} GB/s @ {per_iter_bf16*1e3:.3f}"
+                        f" ms/iter; b{BATCH} kv{KV_LEN}"
+                        f" h{NUM_QO_HEADS}/{NUM_KV_HEADS} d{HEAD_DIM}"
+                        f" p{PAGE_SIZE}, {kind})",
+                "vs_baseline": round(effective / target, 4),
             }
         )
     )
@@ -150,7 +175,7 @@ if __name__ == "__main__":
         print(
             json.dumps(
                 {
-                    "metric": "paged_decode_attention_read_bw",
+                    "metric": "fp8_paged_decode_effective_kv_bw",
                     "value": 0.0,
                     "unit": f"error: {type(e).__name__}: {e}"[:400],
                     "vs_baseline": 0.0,

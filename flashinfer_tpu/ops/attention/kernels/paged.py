@@ -548,9 +548,18 @@ def tile_candidates(
         q_blk = 2 * h * tile_q * d_pad * q_itemsize
         out_blk = 2 * h * tile_q * (dv_pad * q_itemsize + 4)
         # Mosaic keeps the head-unrolled logits intermediates (s, p, masks)
-        # live across the unroll — ~3 f32 [tile_q, tile_k] temps per head
-        compute_tmp = 3 * h * tile_q * tk * 4
-        return kv_scr + state + q_blk + out_blk + compute_tmp
+        # live across the unroll — ~3 f32 [tile_q, tile_k] temps per head,
+        # times 2 for the interior/masked dual-body specialization (both
+        # pl.when branches' scoped allocations stack)
+        compute_tmp = 6 * h * tile_q * tk * 4
+        # NHD/ragged buffers are sliced per head on a strided axis; Mosaic
+        # materializes each [tile_k, d] head slice as a relayout copy, and
+        # the unrolled copies stack (measured: 16M scoped at h=4 tk=1024
+        # d=128 bf16 where the naive model said ~5M)
+        nhd_tmp = 0
+        if not head_sliceable:
+            nhd_tmp = 4 * h * tk * (d_pad + dv_pad) * kv_itemsize
+        return kv_scr + state + q_blk + out_blk + compute_tmp + nhd_tmp
 
     def best_h(tk):
         h = num_kv_heads
@@ -568,7 +577,9 @@ def tile_candidates(
     tk = tile_k
     while True:
         h = best_h(tk)
-        if h:
+        # cap pages-per-subtile at 64: each page uses a DMA semaphore pair
+        # and the sflag memory space holds ~2KB of semaphores total
+        if h and tk // page_size <= 64:
             cands.append((tk, h))
         if (tk <= page_size or tk % 2
                 or kv_chunk_size % (tk // 2)
@@ -576,7 +587,8 @@ def tile_candidates(
             break
         tk //= 2
     if not cands:
-        return [(num_kv_heads, tile_k)]  # let Mosaic report the OOM
+        # let Mosaic report the OOM (but keep the semaphore cap honest)
+        return [(num_kv_heads, min(tile_k, page_size * 64))]
     preferred = [c for c in cands if c[0] >= min(512, tile_k)]
     pool = preferred or cands
     calls = min(num_kv_heads // h for _, h in pool)

@@ -262,7 +262,11 @@ class LlamaServingEngine:
     # --------------------------------------------------------------- decode
 
     def _kv_chunk(self) -> int:
-        return min(2048, next_power_of_2(self.cfg.max_seq_len))
+        # smaller chunks keep kernel tiles sized to REAL kv (the fp8 decode
+        # and softmax always process the whole resident tile, so a 1024-wide
+        # tile over a 200-token sequence wastes 5x VPU work); split-KV
+        # merge overhead at 512 is ~3%
+        return min(512, next_power_of_2(self.cfg.max_seq_len))
 
     def _decode(self) -> List[Tuple[int, int]]:
         mc, B = self.cfg.model, self.cfg.max_batch

@@ -125,14 +125,14 @@ def test_pod_single_launch_matches_two_call():
 
     w2 = PODWithPagedKVCacheWrapper(backend="pallas")
     w2.plan(indptr, indices, last, hq, hkv, d, page_size,
-            kv_len_arr=np.asarray(kv_lens))
+            kv_len_arr=np.asarray(kv_lens), kv_chunk_size=16)
     p_ref, d_ref = w2.run(q_p, k_p, v_p, q_d, (k_c, v_c))
 
     w1 = PODWithPagedKVCacheWrapper(backend="pallas")
     w1.plan(indptr, indices, last, hq, hkv, d, page_size,
             prefill_qo_len=qo_len, prefill_kv_len=kv_len,
             prefill_page_indices=free_pages,
-            kv_len_arr=np.asarray(kv_lens))
+            kv_len_arr=np.asarray(kv_lens), kv_chunk_size=16)
     (p_out, d_out), _cache = w1.run(q_p, k_p, v_p, q_d, (k_c, v_c))
 
     np.testing.assert_allclose(np.asarray(p_out), np.asarray(p_ref),
