@@ -75,3 +75,39 @@ def custom_variant():
     w.plan(indptr, indices, last, HQ, HKV, D, PS)
     return jax.jit(lambda q, kc, vc: w.run(q, (kc, vc), return_lse=True))(q, kc, vc)
 report("decode return_lse", custom_variant)
+
+
+def packed_mask_prefill():
+    qo_lens = [16, 8, 4, 12]
+    qo_indptr = np.concatenate([[0], np.cumsum(qo_lens)]).astype(np.int32)
+    masks = np.concatenate([
+        (rng.random(qo * kv) > 0.3) for qo, kv in zip(qo_lens, kv_lens)
+    ])
+    packed = np.packbits(masks)
+    qq = jnp.asarray(rng.standard_normal((qo_indptr[-1], HQ, D)), jnp.bfloat16)
+    w = fi.BatchPrefillWithPagedKVCacheWrapper(kv_layout="HND", backend="pallas")
+    w.plan(qo_indptr, indptr, indices, last, HQ, HKV, D, PS,
+           kv_len_arr=np.asarray(kv_lens), packed_custom_mask=packed)
+    return jax.jit(lambda q, k, v: w.run(q, (k, v)))(qq, kc, vc)
+report("packed custom mask prefill", packed_mask_prefill)
+
+
+def fp8_mask_decode():
+    k8 = kc.astype(jnp.float8_e4m3fn)
+    v8 = vc.astype(jnp.float8_e4m3fn)
+    masks = np.concatenate([(rng.random(kv) > 0.2) for kv in kv_lens])
+    w = fi.BatchDecodeWithPagedKVCacheWrapper(kv_layout="HND", backend="pallas")
+    w.plan(indptr, indices, last, HQ, HKV, D, PS,
+           kv_len_arr=np.asarray(kv_lens), custom_mask=masks)
+    return jax.jit(lambda q, k, v: w.run(q, (k, v), k_scale=0.1, v_scale=0.1))(
+        q, k8, v8)
+report("fp8 KV + custom mask decode (permuted mask columns)", fp8_mask_decode)
+
+
+def fused_sampler():
+    from flashinfer_tpu.ops.sampling import top_k_top_p_sampling_from_probs
+    probs = jax.nn.softmax(
+        jnp.asarray(rng.standard_normal((16, 32000)), jnp.float32))
+    return top_k_top_p_sampling_from_probs(
+        probs, jax.random.PRNGKey(0), 40, 0.9, backend="pallas")
+report("fused top-k/top-p sampler kernel", fused_sampler)

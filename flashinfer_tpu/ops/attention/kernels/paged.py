@@ -339,10 +339,6 @@ def _paged_kernel(
                 base_mask = jnp.logical_and(
                     base_mask, kv_pos > q_tok - window_left - 1
                 )
-            if has_mask:
-                # plan-time-legalized custom/multi-item mask tile (columns
-                # pre-permuted by the run wrapper for fp8 caches)
-                base_mask = jnp.logical_and(base_mask, mask_ref[0] != 0)
             col_valid = vrow < remaining
 
         # exp = exp2 with log2(e) folded into the logits; when no
@@ -418,6 +414,13 @@ def _paged_kernel(
             # transcendental; m/l state lives in the base-2 domain,
             # converted at finalize
             if masked:
+                if has_mask:
+                    # plan-time-legalized custom/multi-item mask tile
+                    # (columns pre-permuted by the run wrapper for fp8
+                    # caches). Applied as its own where on the logits:
+                    # AND-ing it into the bool mask chain trips a Mosaic
+                    # i1-relayout bug (replicated->distributed i1 vectors)
+                    s = jnp.where(mask_ref[0] != 0, s, _NEG_INF)
                 s = jnp.where(mask, s if fold_log2e else s * _LOG2E, _NEG_INF)
             elif not fold_log2e:
                 s = s * _LOG2E
@@ -434,6 +437,10 @@ def _paged_kernel(
             else:
                 p = jnp.exp2(s - m_safe[:, :1])
             if masked:
+                # mathematically redundant (exp2(-inf - finite) == 0) but
+                # measurably FASTER on v5e: the explicit zeroing lets Mosaic
+                # select on the mask register instead of special-casing -inf
+                # through exp2 (removing it cost ~0.2 ms on fp8 b64/kv2048)
                 p = jnp.where(mask, p, 0.0)
             alpha = jnp.where(jnp.isneginf(m_prev), 0.0, jnp.exp2(m_prev - m_safe))
             l_ref[h] = l_ref[h] * alpha + jnp.sum(p, axis=1, keepdims=True)
@@ -466,8 +473,13 @@ def _paged_kernel(
     # whole mask pipeline — the TPU analogue of the reference's
     # mask-free-interior-tile specialization (prefill.cuh hot loop)
     active = jnp.logical_and(valid_item, remaining > 0)
+    # the dual interior/masked specialization doubles Mosaic's scoped-VMEM
+    # stack (both branches' temps coexist); worth it only for small decode
+    # tiles where the temps are tiny and the mask passes are a large
+    # fraction of the VPU work
     can_skip_mask = (
         window_left < 0 and variant.logits_mask is None and not has_mask
+        and tile_q <= 64
     )
     if can_skip_mask:
         interior = remaining >= tile_k
@@ -548,16 +560,18 @@ def tile_candidates(
         q_blk = 2 * h * tile_q * d_pad * q_itemsize
         out_blk = 2 * h * tile_q * (dv_pad * q_itemsize + 4)
         # Mosaic keeps the head-unrolled logits intermediates (s, p, masks)
-        # live across the unroll — ~3 f32 [tile_q, tile_k] temps per head,
-        # times 2 for the interior/masked dual-body specialization (both
-        # pl.when branches' scoped allocations stack)
-        compute_tmp = 6 * h * tile_q * tk * 4
+        # live across the unroll — ~3 f32 [tile_q, tile_k] temps per head.
+        # (The decode-tile dual-body specialization does NOT double this:
+        # measured, e.g. fp8 h8/tq8/tk2048 with both bodies fits fine; the
+        # one observed scoped-vmem blowout was the NHD strided-slice case,
+        # modeled separately below.)
+        compute_tmp = 3 * h * tile_q * tk * 4
         # NHD/ragged buffers are sliced per head on a strided axis; Mosaic
         # materializes each [tile_k, d] head slice as a relayout copy, and
         # the unrolled copies stack (measured: 16M scoped at h=4 tk=1024
         # d=128 bf16 where the naive model said ~5M)
         nhd_tmp = 0
-        if not head_sliceable:
+        if not head_sliceable and page_size > 1:
             nhd_tmp = 4 * h * tk * (d_pad + dv_pad) * kv_itemsize
         return kv_scr + state + q_blk + out_blk + compute_tmp + nhd_tmp
 
@@ -578,8 +592,10 @@ def tile_candidates(
     while True:
         h = best_h(tk)
         # cap pages-per-subtile at 64: each page uses a DMA semaphore pair
-        # and the sflag memory space holds ~2KB of semaphores total
-        if h and tk // page_size <= 64:
+        # and the sflag memory space holds ~2KB of semaphores total.
+        # page_size == 1 marks the ragged path (one DMA per subtile) — the
+        # cap does not apply there.
+        if h and (page_size == 1 or tk // page_size <= 64):
             cands.append((tk, h))
         if (tk <= page_size or tk % 2
                 or kv_chunk_size % (tk // 2)
@@ -587,8 +603,10 @@ def tile_candidates(
             break
         tk //= 2
     if not cands:
-        # let Mosaic report the OOM (but keep the semaphore cap honest)
-        return [(num_kv_heads, min(tile_k, page_size * 64))]
+        # let Mosaic report the OOM (but keep the semaphore cap honest;
+        # ragged [page_size 1] is one DMA per subtile — no cap)
+        cap = tile_k if page_size == 1 else min(tile_k, page_size * 64)
+        return [(num_kv_heads, cap)]
     preferred = [c for c in cands if c[0] >= min(512, tile_k)]
     pool = preferred or cands
     calls = min(num_kv_heads // h for _, h in pool)
