@@ -365,10 +365,32 @@ def run_device_plan(
         work_mask=dplan.work_mask,
         interpret=interpret,
     )
+    kvh, dv = partial_o.shape[1], partial_o.shape[3]
+    if m.max_splits == 1:
+        # no split-KV: the merge is a pure permutation, so compose the
+        # merge-src and output gathers into ONE gather straight from the
+        # partials (skips a full read+write of the merged intermediate and
+        # the softmax-combine math — a large share of prefill glue)
+        comb = jnp.maximum(dplan.merge_src[:, 0][dplan.out_map], 0)
+        w_idx, j_idx = comb // m.tile_q, comb % m.tile_q
+        out = partial_o[w_idx, :, j_idx, :]  # [nnz*group, kvh, dv]
+        out = (
+            out.reshape(nnz, group, kvh, dv)
+            .transpose(0, 2, 1, 3)
+            .reshape(nnz, hq, dv)[:, :, : m.head_dim_vo]
+        )
+        if return_lse:
+            lse = partial_lse[w_idx, :, j_idx]
+            lse = (
+                lse.reshape(nnz, group, kvh).transpose(0, 2, 1)
+                .reshape(nnz, hq)
+            )
+            return out, lse
+        return out
+
     merged_v, merged_s = gather_merge_states(
         partial_o, partial_lse, dplan.merge_src, m.tile_q
     )
-    kvh, dv = merged_v.shape[1], merged_v.shape[2]
     out = jnp.take(merged_v, dplan.out_map, axis=0)
     out = (
         out.reshape(nnz, group, kvh, dv)
@@ -508,13 +530,19 @@ class BatchAttention:
             # resident KV tile sized by the kernel's own VMEM budget: the
             # chunk equals the tile (nsub==1), enabling kv-major DMA dedup —
             # KV is read once per request instead of once per qo tile
-            from flashinfer_tpu.ops.attention.kernels.paged import choose_tiles
+            from flashinfer_tpu.ops.attention.kernels.paged import (
+                tile_candidates,
+            )
 
             eff_page = 1 if self._ragged else page_size
             d_pad = round_up(head_dim_qk, 128)
             dv_pad = round_up(head_dim_vo, 128)
             want = max(round_up(max(self._tile_k, 2048), eff_page), eff_page)
-            _, chunk = choose_tiles(
+            # chunk = LARGEST VMEM-legal tile: every halving of the chunk
+            # doubles split-KV partial traffic (written + merge-gathered),
+            # which dominates prefill glue; the run stage may still pick a
+            # smaller tile_k (nsub > 1) for its own call-count tradeoff
+            cands_c = tile_candidates(
                 num_kv_heads=num_kv_heads,
                 tile_q=tile_q,
                 d_pad=d_pad,
@@ -527,6 +555,7 @@ class BatchAttention:
                     not self._ragged and self._layout == TensorLayout.HND
                 ),
             )
+            chunk = max(tk for _, tk in cands_c)
         plan = plan_attention(
             padded_indptr,
             kv_lens,
