@@ -206,10 +206,22 @@ def bench_serving(args) -> dict:
         eng.step()
     dt = time.perf_counter() - t0
     toks = eng.generated_tokens - n0
+    # p50 TTFT (warm): run fresh prompts through the warmed engine and time
+    # enqueue -> first emitted token (BASELINE.md p50 TTFT row)
+    ttfts = []
+    for _ in range(5):
+        eng2_req = eng.add_request(
+            rng.integers(0, mc.vocab_size, args.s_qo).tolist(), 1)
+        t1 = time.perf_counter()
+        while not eng2_req.output:
+            eng.step()
+        ttfts.append(time.perf_counter() - t1)
+    ttft_p50 = float(np.median(ttfts))
     return {
         "routine": "serving",
         "model": args.model,
         "tokens_per_sec": round(toks / dt, 1),
+        "ttft_p50_ms": round(ttft_p50 * 1e3, 2),
         "ms_per_step": round(dt / args.iters * 1e3, 2),
         "batch": args.batch_size,
     }

@@ -225,3 +225,25 @@ def test_mla_rope_quantize_fp8():
     np.testing.assert_array_equal(
         np.asarray(qn8, np.float32),
         np.asarray((q_nope * 0.5).astype(jnp.float8_e4m3fn), np.float32))
+
+
+def test_silu_and_mul_nvfp4_batched_quantize():
+    """Fused act+mask+nvfp4 equals the composed ops (reference
+    activation.py:145)."""
+    import numpy as np
+    from flashinfer_tpu.ops.activation import (
+        silu_and_mul,
+        silu_and_mul_nvfp4_batched_quantize,
+    )
+    from flashinfer_tpu.ops.fp4 import fp4_dequantize
+
+    rng = np.random.default_rng(0)
+    B, M, K = 2, 4, 64
+    a = jnp.asarray(rng.standard_normal((B, M, 2 * K)), jnp.float32)
+    mask = jnp.asarray(rng.random((B, M)) > 0.3)
+    gsf = jnp.ones((1,), jnp.float32)
+    q, sf = silu_and_mul_nvfp4_batched_quantize(a, mask, gsf)
+    assert q.shape == (B, M, K // 2)
+    deq = np.asarray(fp4_dequantize(q, sf, sf_vec_size=16))
+    ref = np.asarray(silu_and_mul(a)) * np.asarray(mask)[..., None]
+    np.testing.assert_allclose(deq, ref, atol=0.35, rtol=0.35)
