@@ -132,3 +132,43 @@ def test_deepseek_dense_runs_bf16():
         params, jnp.zeros((1, 4), jnp.int32), cfg)
     assert logits.shape == (1, 4, cfg.vocab_size)
     assert np.isfinite(np.asarray(logits)).all()
+
+
+def test_mixtral_moe_layer_ep_sharded():
+    """Mixtral's MoE FFN composed with the EP-sharded layer equals the
+    single-device path (model family x parallel composition, SURVEY §2.5)."""
+    import numpy as np
+    from jax.sharding import Mesh
+
+    from flashinfer_tpu.models.mixtral import (
+        MixtralConfig,
+        mixtral_init_weights,
+    )
+    from flashinfer_tpu.ops.fused_moe import (
+        RoutingMethodType,
+        fused_moe,
+        route_tokens,
+    )
+    from flashinfer_tpu.parallel import fused_moe_ep
+
+    cfg = MixtralConfig.tiny()
+    params = mixtral_init_weights(jax.random.key(0), cfg)
+    rng = np.random.default_rng(0)
+    tokens = 16
+    xn = jnp.asarray(rng.standard_normal((tokens, cfg.hidden_size)) * 0.3,
+                     jnp.float32)
+    logits = xn @ params["router"][0].astype(jnp.float32)
+
+    ids, scales = route_tokens(logits, cfg.top_k,
+                               RoutingMethodType.Renormalize)
+    ref = fused_moe(xn, params["w13"][0], params["w2"][0], ids, scales)
+
+    ep = min(4, cfg.num_experts)
+    mesh = Mesh(np.array(jax.devices()[:ep]), ("ep",))
+    out = fused_moe_ep(
+        xn, logits, params["w13"][0], params["w2"][0], mesh,
+        top_k=cfg.top_k, routing_method=RoutingMethodType.Renormalize,
+        capacity=tokens * cfg.top_k,
+    )
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=2e-4, atol=2e-4)
