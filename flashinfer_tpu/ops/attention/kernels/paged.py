@@ -836,7 +836,7 @@ def _select_tiles(cands, **ctx):
             return bench_tpu_time_differential(
                 step, ctx["q_packed"], ctx["k_cache"], ctx["v_cache"],
                 ctx["kv_indices"], ctx["work_mask"], *ctx["plan_arrays"],
-                n_short=2, n_long=10, repeats=3,
+                n_short=2, n_long=26, repeats=6,
             )
 
         sel = tuner.choose_one(op_key, _Runner(), time_tactic=time_tactic)

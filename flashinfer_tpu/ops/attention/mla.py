@@ -149,17 +149,19 @@ def _mla_kernel(
             jax.lax.broadcasted_iota(jnp.int32, (tile_k, 1), 0) < remaining
         )
         # zero rows beyond the valid kv range: they hold whatever the DMA
-        # left behind (NaN in interpret mode) and 0*NaN would poison the dots
-        ckv = jnp.where(col_valid, ckv_buf[slot], 0)
-        kpe = jnp.where(col_valid, kpe_buf[slot], 0)
+        # left behind (NaN in interpret mode) and 0*NaN would poison the PV
+        # dot. Only the V use needs it — the QK side is masked through s
+        # (where(mask, ...) below), so garbage K rows never survive; this
+        # saves full [tile_k, d] cleanup passes over ckv and kpe.
         s = jax.lax.dot_general(
-            q_ckv_ref[0], ckv, (((1,), (1,)), ((), ())),
+            q_ckv_ref[0], ckv_buf[slot], (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
         ) + jax.lax.dot_general(
-            q_pe_ref[0], kpe, (((1,), (1,)), ((), ())),
+            q_pe_ref[0], kpe_buf[slot], (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
-        s = s * sm_scale
+        # exp2 is the hardware transcendental: fold log2(e) into the scale
+        s = s * (sm_scale * 1.4426950408889634)
 
         qo_local0 = plan_refs[_QO_TILE][w] * tile_q
         row = jax.lax.broadcasted_iota(jnp.int32, (tile_q, tile_k), 0)
@@ -174,11 +176,12 @@ def _mla_kernel(
         m_prev = m_ref[:]
         m_new = jnp.maximum(m_prev, jnp.max(s, axis=1, keepdims=True))
         m_safe = jnp.where(jnp.isneginf(m_new), 0.0, m_new)
-        p = jnp.where(mask, jnp.exp(s - m_safe[:, :1]), 0.0)
-        alpha = jnp.where(jnp.isneginf(m_prev), 0.0, jnp.exp(m_prev - m_safe))
+        p = jnp.where(mask, jnp.exp2(s - m_safe[:, :1]), 0.0)
+        alpha = jnp.where(jnp.isneginf(m_prev), 0.0, jnp.exp2(m_prev - m_safe))
         l_ref[:] = l_ref[:] * alpha + jnp.sum(p, axis=1, keepdims=True)
         m_ref[:] = m_new
-        v = ckv  # V IS the compressed KV — zero extra HBM traffic
+        # V IS the compressed KV — zero extra HBM traffic
+        v = jnp.where(col_valid, ckv_buf[slot], 0)
         pv = jax.lax.dot_general(
             p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
@@ -192,7 +195,9 @@ def _mla_kernel(
         safe_l = jnp.where(l > 0, l, 1.0)
         out = acc_ref[:] / safe_l
         m_safe = jnp.where(jnp.isneginf(m), 0.0, m)
-        lse = jnp.where(l > 0, m_safe + jnp.log(safe_l), _NEG_INF)
+        # m is base-2 (log2e folded into the scale); lse stays natural-log
+        lse = jnp.where(
+            l > 0, m_safe * 0.6931471805599453 + jnp.log(safe_l), _NEG_INF)
         out_ref[0] = out.astype(out_ref.dtype)
         lse_ref[0] = jnp.broadcast_to(lse, lse_ref.shape[1:])
 
@@ -266,7 +271,7 @@ def _mla_paged_run(
 
             return bench_tpu_time_differential(
                 step, q_ckv_packed, q_pe_packed, ckv_cache, kpe_cache,
-                kv_indices, *plan_arrays, n_short=2, n_long=10, repeats=3,
+                kv_indices, *plan_arrays, n_short=2, n_long=26, repeats=6,
             )
 
         sel = tuner.choose_one(op_key, _Runner(), time_tactic=time_tactic)

@@ -108,10 +108,18 @@ def single_prefill_with_kv_cache(
     if mode == PosEncodingMode.ALIBI:
         alibi = default_alibi_slopes(num_qo_heads)
     elif mode == PosEncodingMode.ROPE_LLAMA:
-        raise NotImplementedError(
-            "fused-RoPE prefill: apply flashinfer_tpu.ops.rope first; kernel "
-            "fusion lands with the rope module"
-        )
+        # reference applies Llama RoPE inside the kernel (pos_enc_mode
+        # ROPE_LLAMA, pos_enc.cuh). On TPU the rotation is one elementwise
+        # pass XLA fuses with the q/k producers — applied here so the
+        # one-call fused-RoPE API works without a dedicated kernel path.
+        # Query tokens sit at the sequence tail (append convention).
+        from flashinfer_tpu.ops.rope import apply_rope_pos_ids
+
+        qo_len, kv_len = q.shape[0], k.shape[0]
+        q_pos = kv_len - qo_len + jnp.arange(qo_len, dtype=jnp.int32)
+        k_pos = jnp.arange(kv_len, dtype=jnp.int32)
+        q, _ = apply_rope_pos_ids(q, q[:, :1], q_pos)
+        k, _ = apply_rope_pos_ids(k, k[:, :1], k_pos)
 
     if variant is None:
         variant = make_default_variant(

@@ -166,7 +166,7 @@ def _select_moe_gemm_dtype(hidden_states, w13, w2, group_sizes, gated_act):
 
             return bench_tpu_time_differential(
                 step, hidden_states, w13, w2, group_sizes,
-                n_short=2, n_long=10, repeats=3,
+                n_short=2, n_long=26, repeats=6,
             )
 
         sel = tuner.choose_one(op_key, _Runner(), time_tactic=time_tactic)

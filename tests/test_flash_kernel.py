@@ -134,3 +134,30 @@ def test_flash_gqa_and_unequal_dv():
     out, lse = flash_attention_dense(q, k, v, tile_q=8, tile_k=16, interpret=True)
     ref, ref_lse = attention_reference(q, k, v)
     _check(out, ref, lse, ref_lse)
+
+
+def test_single_prefill_fused_rope():
+    """pos_encoding_mode=ROPE_LLAMA equals rope-then-attend composed by
+    hand (reference prefill.py pos_encoding_mode / pos_enc.cuh)."""
+    import numpy as np
+    from flashinfer_tpu.ops.attention.single import single_prefill_with_kv_cache
+    from flashinfer_tpu.ops.attention.reference import attention_reference
+    from flashinfer_tpu.ops.rope import apply_rope_pos_ids
+
+    rng = np.random.default_rng(0)
+    qo, kv, h, d = 8, 24, 4, 64
+    q = jnp.asarray(rng.standard_normal((qo, h, d)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((kv, h, d)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((kv, h, d)), jnp.float32)
+
+    out = single_prefill_with_kv_cache(
+        q, k, v, causal=True, pos_encoding_mode="ROPE_LLAMA",
+        backend="reference")
+
+    q_pos = jnp.arange(kv - qo, kv, dtype=jnp.int32)
+    k_pos = jnp.arange(kv, dtype=jnp.int32)
+    qr, _ = apply_rope_pos_ids(q, q[:, :1], q_pos)
+    kr, _ = apply_rope_pos_ids(k, k[:, :1], k_pos)
+    ref, _ = attention_reference(qr, kr, v, causal=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=2e-4, atol=2e-4)
