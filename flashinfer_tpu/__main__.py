@@ -76,6 +76,55 @@ def _cmd_aot(args) -> int:
     return 0
 
 
+def _cmd_tune(args) -> int:
+    """Offline tactic tuning over a standard serving-shape grid (the role
+    of the reference's shipped tuning_configs/, autotuner.py:26): profiles
+    VMEM-legal attention tiles on the attached device and persists the
+    winners for every future run to consult."""
+    import numpy as np
+
+    import jax
+    import jax.numpy as jnp
+
+    import flashinfer_tpu as fi
+    from flashinfer_tpu.autotuner import AutoTuner, autotune, get_config_path
+
+    rng = np.random.default_rng(0)
+    shapes = []
+    for b, kv in ((16, 1024), (64, 2048)):
+        for hq, hkv in ((32, 8), (16, 4)):
+            shapes.append((b, kv, hq, hkv))
+    if args.quick:
+        shapes = shapes[:1]
+    with autotune():
+        for b, kv, hq, hkv in shapes:
+            for kv_dtype in ("bf16", "fp8"):
+                ps, d = 32, 128
+                pages = kv // ps
+                indptr = np.arange(b + 1) * pages
+                indices = rng.permutation(b * pages)[: b * pages].astype(
+                    np.int32)
+                last = np.full(b, ps, np.int32)
+                dt = jnp.bfloat16 if kv_dtype == "bf16" else jnp.float8_e4m3fn
+                kc = jnp.asarray(
+                    rng.standard_normal((b * pages + 8, hkv, ps, d)), dt)
+                vc = jnp.asarray(
+                    rng.standard_normal((b * pages + 8, hkv, ps, d)), dt)
+                q = jnp.asarray(
+                    rng.standard_normal((b, hq, d)), jnp.bfloat16)
+                w = fi.BatchDecodeWithPagedKVCacheWrapper(backend="pallas")
+                w.plan(indptr, indices, last, hq, hkv, d, ps,
+                       kv_len_arr=np.full(b, kv))
+                out = w.run(q, (kc, vc))
+                jax.block_until_ready(out)
+                print(f"tuned decode b{b} kv{kv} h{hq}/{hkv} {kv_dtype}",
+                      flush=True)
+    t = AutoTuner.get()
+    print(f"profiled {t.stats.profiled_tactics} tactics across "
+          f"{t.stats.tuned_ops} ops -> {get_config_path()}")
+    return 0
+
+
 def main(argv=None) -> int:
     parser = argparse.ArgumentParser(
         prog="flashinfer_tpu", description=__doc__.splitlines()[0]
@@ -90,6 +139,12 @@ def main(argv=None) -> int:
         "persistent compilation cache"
     )
     p_aot.add_argument("--config", action="append", help="config name(s)")
+    p_tune = sub.add_parser(
+        "tune", help="profile attention tile tactics on the attached "
+        "device and persist winners (reference tuning_configs/ role)"
+    )
+    p_tune.add_argument("--quick", action="store_true",
+                        help="one shape only (smoke)")
 
     args = parser.parse_args(argv)
     return {
@@ -98,6 +153,7 @@ def main(argv=None) -> int:
         "cache-clear": _cmd_cache_clear,
         "list-ops": _cmd_list_ops,
         "aot": _cmd_aot,
+        "tune": _cmd_tune,
     }[args.cmd](args)
 
 
