@@ -190,8 +190,22 @@ def bench_serving(args) -> dict:
         model=mc, max_batch=args.batch_size, num_pages=args.num_pages,
         page_size=args.page_size, max_seq_len=args.s_kv, greedy=True,
         kv_dtype=args.kv_dtype,
+        weight_dtype=args.weight_dtype,
     )
-    eng = LlamaServingEngine(cfg, seed=0)
+    params = None
+    if args.weight_dtype == "fp8_e4m3" and args.model == "8b":
+        # 16 GB of bf16 weights would not fit the chip: generate + quantize
+        # on the host, upload only the int8 bits + scales (~8 GB)
+        from flashinfer_tpu.models.llama import (
+            llama_init_weights, quantize_llama_weights_fp8)
+        cpu = jax.devices("cpu")[0]
+        with jax.default_device(cpu):
+            params = quantize_llama_weights_fp8(
+                llama_init_weights(jax.random.key(0), mc))
+        tpu_dev = jax.devices()[0]
+        params = {k: jax.device_put(v, tpu_dev) for k, v in params.items()}
+        cfg.weight_dtype = "model"  # already quantized
+    eng = LlamaServingEngine(cfg, params=params, seed=0)
     rng = np.random.default_rng(0)
     for _ in range(args.batch_size):
         eng.add_request(
@@ -237,6 +251,8 @@ def main(argv=None) -> int:
     ])
     p.add_argument("--model", default="1b", choices=["tiny", "1b", "8b"])
     p.add_argument("--kv-dtype", default="model", choices=["model", "fp8_e4m3"])
+    p.add_argument("--weight-dtype", default="model",
+                   choices=["model", "fp8_e4m3"])
     p.add_argument("--num-pages", type=int, default=4096)
     p.add_argument("--batch-size", type=int, default=16)
     p.add_argument("--s-qo", type=int, default=128)

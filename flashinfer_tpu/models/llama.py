@@ -176,3 +176,35 @@ def llama_decode_step(
     x = rmsnorm(x, params["final_norm"], cfg.rms_eps)
     logits = (x @ params["lm_head"]).astype(jnp.float32)
     return logits, (jnp.stack(new_k), jnp.stack(new_v))
+
+
+_FP8_WEIGHT_NAMES = ("wq", "wk", "wv", "wo", "w_gate_up", "w_down", "lm_head")
+
+
+def quantize_llama_weights_fp8(params: Dict[str, jax.Array]) -> Dict[str, jax.Array]:
+    """Quantize the matmul weights to e4m3 (int8 container) with one f32
+    scale per output channel — the FP8 weight path of BASELINE config 3.
+
+    Each weight W[..., in, out] becomes bits int8 + scale [..., 1, out];
+    the engine applies y = (x @ decode(bits)) * scale, so the scale rides
+    the small [rows, out] output instead of the weight. Dequant of the
+    int8 bits fuses into the MXU operand read at serving batch sizes
+    (XLA memory_analysis: temp == 0 — docs/PERF.md). Halves weight HBM:
+    Llama-3-8B fits a single 16 GB chip. Embedding and norms stay in the
+    model dtype (gathers/elementwise, not MXU operands)."""
+    import numpy as np
+
+    out = {}
+    for name, w in params.items():
+        if name not in _FP8_WEIGHT_NAMES:
+            out[name] = w
+            continue
+        wf = np.asarray(w, np.float32)
+        amax = np.abs(wf).max(axis=-2, keepdims=True)  # per output channel
+        scale = np.maximum(amax, 1e-30) / 448.0
+        bits = jax.lax.bitcast_convert_type(
+            jnp.asarray(wf / scale).astype(jnp.float8_e4m3fn), jnp.int8
+        )
+        out[name] = bits
+        out[name + "_scale"] = jnp.asarray(scale, jnp.float32)
+    return out

@@ -64,6 +64,10 @@ class EngineConfig:
     # the attention kernel dequantizes in-register (ops/fp8.py bit decode).
     kv_dtype: str = "model"
     kv_scale: float = 0.05  # static quant scale (amax/448-style, per model)
+    # "fp8_e4m3" stores matmul weights as e4m3 bits + per-output-channel
+    # scales (halves weight HBM; 8B fits one 16 GB chip). Dequant fuses
+    # into the MXU operand reads at serving batch sizes (docs/PERF.md).
+    weight_dtype: str = "model"
 
 
 @dataclasses.dataclass
@@ -90,6 +94,10 @@ class LlamaServingEngine:
         self.cfg = config
         mc = config.model
         self.params = params or llama_init_weights(jax.random.key(seed), mc)
+        if config.weight_dtype == "fp8_e4m3":
+            from flashinfer_tpu.models.llama import quantize_llama_weights_fp8
+
+            self.params = quantize_llama_weights_fp8(self.params)
         self.pool = PagePool(config.num_pages, config.page_size)
         self.key = jax.random.key(seed + 1)
 
@@ -379,6 +387,20 @@ def _layer_forward(*args, **kw):
         return _layer_forward_inner(*args, **kw)
 
 
+def _wmm(x, params, name, layer=None):
+    """x @ params[name][layer], transparently decoding fp8 weights (e4m3
+    bits in int8 + per-output-channel scale applied to the small output)."""
+    w = params[name] if layer is None else params[name][layer]
+    if w.dtype == jnp.int8:
+        from flashinfer_tpu.ops.fp8 import e4m3_bits_to_bf16
+
+        s = params[name + "_scale"]
+        s = s if layer is None else s[layer]
+        y = x @ e4m3_bits_to_bf16(w).astype(x.dtype)
+        return (y.astype(jnp.float32) * s).astype(x.dtype)
+    return x @ w
+
+
 def _layer_forward_inner(params, mc, layer, num_pages, x, positions, k_cache,
                    v_cache, dplan, page_ids, entry_ids, valid, interpret,
                    kv_scale=1.0):
@@ -393,9 +415,9 @@ def _layer_forward_inner(params, mc, layer, num_pages, x, positions, k_cache,
     hq, hkv = mc.num_qo_heads, mc.num_kv_heads
 
     xn = rmsnorm(x, params["attn_norm"][layer], mc.rms_eps)
-    q = (xn @ params["wq"][layer]).reshape(rows, hq, d)
-    k = (xn @ params["wk"][layer]).reshape(rows, hkv, d)
-    v = (xn @ params["wv"][layer]).reshape(rows, hkv, d)
+    q = _wmm(xn, params, "wq", layer).reshape(rows, hq, d)
+    k = _wmm(xn, params, "wk", layer).reshape(rows, hkv, d)
+    v = _wmm(xn, params, "wv", layer).reshape(rows, hkv, d)
     q, k = apply_rope_pos_ids(q, k, positions, rope_theta=mc.rope_theta)
 
     if kv_scale != 1.0:  # fp8 KV: store e4m3 bits (int8 container)
@@ -417,10 +439,11 @@ def _layer_forward_inner(params, mc, layer, num_pages, x, positions, k_cache,
         kv_dtype="e4m3" if kv_scale != 1.0 else None,
         kv_indices_offset=layer * num_pages, interpret=interpret,
     )
-    x = x + (attn.reshape(rows, hq * d) @ params["wo"][layer]).astype(x.dtype)
+    x = x + _wmm(attn.reshape(rows, hq * d), params, "wo", layer
+                 ).astype(x.dtype)
     xn = rmsnorm(x, params["mlp_norm"][layer], mc.rms_eps)
-    x = x + (silu_and_mul(xn @ params["w_gate_up"][layer])
-             @ params["w_down"][layer]).astype(x.dtype)
+    x = x + _wmm(silu_and_mul(_wmm(xn, params, "w_gate_up", layer)),
+                 params, "w_down", layer).astype(x.dtype)
     return x, k_cache, v_cache
 
 
@@ -452,7 +475,7 @@ def _decode_step(params, mc, page_size, page_bucket, k_cache, v_cache,
             dplan, page_ids, entry_ids, valid, interpret, kv_scale=kv_scale,
         )
     x = rmsnorm(x, params["final_norm"], mc.rms_eps)
-    logits = (x @ params["lm_head"]).astype(jnp.float32)
+    logits = _wmm(x, params, "lm_head").astype(jnp.float32)
     toks = _sample_tokens(logits, key, sample_args, greedy)
     return toks, k_cache, v_cache
 
@@ -488,6 +511,6 @@ def _prefill_step(params, mc, page_size, k_cache, v_cache, tokens, positions,
         )
     x = rmsnorm(x, params["final_norm"], mc.rms_eps)
     x_last = x[last_rows]
-    logits = (x_last @ params["lm_head"]).astype(jnp.float32)
+    logits = _wmm(x_last, params, "lm_head").astype(jnp.float32)
     toks = _sample_tokens(logits, key, sample_args, greedy)
     return toks, k_cache, v_cache

@@ -88,3 +88,41 @@ def test_engine_eos_stops(engine_setup):
     assert r.done
     if 0 in r.output:
         assert r.output.index(0) == len(r.output) - 1
+
+
+def test_engine_fp8_weights():
+    """FP8 e4m3 weights (int8 bits + per-channel scales): the engine runs
+    end to end and its greedy tokens track the bf16-weight engine (e4m3
+    round-trip error permitting; BASELINE config 3 weight path)."""
+    import numpy as np
+    from flashinfer_tpu.models.llama import (
+        LlamaConfig,
+        llama_init_weights,
+        quantize_llama_weights_fp8,
+    )
+
+    mc = LlamaConfig.tiny()
+    cfg16 = EngineConfig(model=mc, max_batch=2, num_pages=32, page_size=8,
+                         max_seq_len=64, greedy=True, interpret=True)
+    cfg8 = EngineConfig(model=mc, max_batch=2, num_pages=32, page_size=8,
+                        max_seq_len=64, greedy=True, interpret=True,
+                        weight_dtype="fp8_e4m3")
+    e16 = LlamaServingEngine(cfg16, seed=3)
+    e8 = LlamaServingEngine(cfg8, seed=3)
+    # quantized weights really are int8 bits
+    assert e8.params["wq"].dtype == jnp.int8
+    assert "wq_scale" in e8.params
+
+    r16 = e16.add_request([5, 6, 7, 8], 6)
+    r8 = e8.add_request([5, 6, 7, 8], 6)
+    e16.run_to_completion()
+    e8.run_to_completion()
+    assert len(r8.output) == 6
+    # weight round-trip: dequantized weights close to the originals
+    from flashinfer_tpu.ops.fp8 import e4m3_bits_to_bf16
+    w16 = np.asarray(llama_init_weights(jax.random.key(3), mc)["wq"],
+                     np.float32)
+    w8 = np.asarray(e4m3_bits_to_bf16(e8.params["wq"]), np.float32) * \
+        np.asarray(e8.params["wq_scale"], np.float32)
+    rel = np.abs(w8 - w16).max() / np.abs(w16).max()
+    assert rel < 0.08, rel
