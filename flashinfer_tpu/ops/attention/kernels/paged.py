@@ -603,9 +603,19 @@ def tile_candidates(
             break
         tk //= 2
     if not cands:
-        # let Mosaic report the OOM (but keep the semaphore cap honest;
-        # ragged [page_size 1] is one DMA per subtile — no cap)
+        # nothing fits the model's budget (e.g. NHD caches where the head
+        # axis cannot be sliced): keep halving tile_k toward page_size so
+        # the per-step footprint shrinks as far as the layout allows,
+        # rather than handing Mosaic a guaranteed scoped-vmem OOM
         cap = tile_k if page_size == 1 else min(tile_k, page_size * 64)
+        while (
+            cap > page_size
+            and vmem_bytes(num_kv_heads, cap) > _VMEM_BUDGET
+            and cap % 2 == 0
+            and (cap // 2) % page_size == 0
+            and kv_chunk_size % (cap // 2) == 0
+        ):
+            cap //= 2
         return [(num_kv_heads, cap)]
     preferred = [c for c in cands if c[0] >= min(512, tile_k)]
     pool = preferred or cands

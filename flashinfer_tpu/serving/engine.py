@@ -137,7 +137,10 @@ class LlamaServingEngine:
             kv_layout="NHD", backend="pallas"
         )
         self._prefill_wrapper = BatchPrefillWithPagedKVCacheWrapper(
-            kv_layout="NHD", backend="pallas"
+            kv_layout="NHD", backend="pallas", tile_q=256,
+            # NHD caches can't head-slice, so per-head VMEM state scales
+            # with tile_q; 256 keeps large-model prefill inside Mosaic's
+            # scoped-vmem limit with ~the same MXU efficiency
         )
         self._interpret = (
             config.interpret if config.interpret is not None else not on_tpu()
