@@ -194,16 +194,10 @@ def bench_serving(args) -> dict:
     )
     params = None
     if args.weight_dtype == "fp8_e4m3" and args.model == "8b":
-        # 16 GB of bf16 weights would not fit the chip: generate + quantize
-        # on the host, upload only the int8 bits + scales (~8 GB)
-        from flashinfer_tpu.models.llama import (
-            llama_init_weights, quantize_llama_weights_fp8)
-        cpu = jax.devices("cpu")[0]
-        with jax.default_device(cpu):
-            params = quantize_llama_weights_fp8(
-                llama_init_weights(jax.random.key(0), mc))
-        tpu_dev = jax.devices()[0]
-        params = {k: jax.device_put(v, tpu_dev) for k, v in params.items()}
+        # 16 GB of bf16 weights would neither fit the chip nor survive the
+        # tunnel upload: generate + quantize per layer ON DEVICE
+        from flashinfer_tpu.models.llama import llama_init_weights_fp8
+        params = llama_init_weights_fp8(jax.random.key(0), mc)
         cfg.weight_dtype = "model"  # already quantized
     eng = LlamaServingEngine(cfg, params=params, seed=0)
     rng = np.random.default_rng(0)

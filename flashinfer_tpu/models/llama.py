@@ -27,6 +27,7 @@ from flashinfer_tpu.ops.rope import apply_rope_pos_ids
 __all__ = [
     "LlamaConfig",
     "llama_init_weights",
+    "llama_init_weights_fp8",
     "llama_forward_dense",
     "llama_decode_step",
 ]
@@ -47,7 +48,8 @@ class LlamaConfig:
 
     @staticmethod
     def llama3_8b() -> "LlamaConfig":
-        return LlamaConfig()
+        # true Llama-3 shapes incl. the 128k vocabulary (8.03B params)
+        return LlamaConfig(vocab_size=128256)
 
     @staticmethod
     def tiny(dtype=jnp.float32) -> "LlamaConfig":
@@ -111,9 +113,15 @@ def llama_forward_dense(
 
     for layer in range(cfg.num_layers):
         xn = rmsnorm(x, params["attn_norm"][layer], cfg.rms_eps)
-        q = (xn @ params["wq"][layer]).reshape(B, S, hq, d)
-        k = (xn @ params["wk"][layer]).reshape(B, S, hkv, d)
-        v = (xn @ params["wv"][layer]).reshape(B, S, hkv, d)
+        if "wqkv" in params:  # serving engines fuse the three projections
+            qkv = xn @ params["wqkv"][layer]
+            q = qkv[..., : hq * d].reshape(B, S, hq, d)
+            k = qkv[..., hq * d : (hq + hkv) * d].reshape(B, S, hkv, d)
+            v = qkv[..., (hq + hkv) * d :].reshape(B, S, hkv, d)
+        else:
+            q = (xn @ params["wq"][layer]).reshape(B, S, hq, d)
+            k = (xn @ params["wk"][layer]).reshape(B, S, hkv, d)
+            v = (xn @ params["wv"][layer]).reshape(B, S, hkv, d)
 
         def rope_one(q1, k1):
             return apply_rope_pos_ids(q1, k1, pos, rope_theta=cfg.rope_theta)
@@ -179,6 +187,64 @@ def llama_decode_step(
 
 
 _FP8_WEIGHT_NAMES = ("wq", "wk", "wv", "wo", "w_gate_up", "w_down", "lm_head")
+
+
+def llama_init_weights_fp8(key: jax.Array, cfg: LlamaConfig) -> Dict[str, jax.Array]:
+    """Generate fp8(e4m3)-quantized weights DIRECTLY on the default device.
+
+    The 8B-on-one-chip path: 16 GB of bf16 weights never exist (they would
+    not fit a 16 GB chip), and nothing rides the host link (the dev tunnel
+    uploads at ~1-10 MB/s — docs/PERF.md). Each stacked weight is generated
+    and quantized one layer at a time under ``lax.scan``, so peak HBM is the
+    final int8 bits + one layer's f32 temporaries. Same quantization scheme
+    as ``quantize_llama_weights_fp8`` (per-output-channel amax/448)."""
+    import functools
+
+    h, i, d = cfg.hidden_size, cfg.intermediate_size, cfg.head_dim
+    hq, hkv, L = cfg.num_qo_heads, cfg.num_kv_heads, cfg.num_layers
+    keys = jax.random.split(key, 8)
+    scale0 = 1.0 / math.sqrt(h)
+
+    def quant(w):  # w: f32 [in, out] -> (e4m3 bits int8, f32 scale [1, out])
+        amax = jnp.abs(w).max(axis=-2, keepdims=True)
+        s = jnp.maximum(amax, 1e-30) / 448.0
+        bits = jax.lax.bitcast_convert_type(
+            (w / s).astype(jnp.float8_e4m3fn), jnp.int8)
+        return bits, s
+
+    @functools.partial(jax.jit, static_argnums=(1, 2))
+    def gen_stacked(k, in_dim, out_dim):
+        def body(c, kl):
+            w = jax.random.normal(kl, (in_dim, out_dim), jnp.float32) * scale0
+            return c, quant(w)
+
+        _, (bits, scales) = jax.lax.scan(body, 0, jax.random.split(k, L))
+        return bits, scales
+
+    @functools.partial(jax.jit, static_argnums=(1,))
+    def gen_plain(k, shape):
+        return (jax.random.normal(k, shape, jnp.float32) * scale0).astype(
+            cfg.dtype)
+
+    params: Dict[str, jax.Array] = {}
+    for name, kk, in_dim, out_dim in (
+        ("wq", keys[1], h, hq * d),
+        ("wk", keys[2], h, hkv * d),
+        ("wv", keys[3], h, hkv * d),
+        ("wo", keys[4], hq * d, h),
+        ("w_gate_up", keys[5], h, 2 * i),
+        ("w_down", keys[6], i, h),
+    ):
+        bits, s = gen_stacked(kk, in_dim, out_dim)
+        params[name], params[name + "_scale"] = bits, s
+    params["embedding"] = gen_plain(keys[0], (cfg.vocab_size, h))
+    lm_bits, lm_s = jax.jit(quant)(
+        jax.random.normal(keys[7], (h, cfg.vocab_size), jnp.float32) * scale0)
+    params["lm_head"], params["lm_head_scale"] = lm_bits, lm_s
+    params["attn_norm"] = jnp.ones((L, h), cfg.dtype)
+    params["mlp_norm"] = jnp.ones((L, h), cfg.dtype)
+    params["final_norm"] = jnp.ones((h,), cfg.dtype)
+    return params
 
 
 def quantize_llama_weights_fp8(params: Dict[str, jax.Array]) -> Dict[str, jax.Array]:

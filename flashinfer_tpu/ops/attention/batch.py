@@ -341,7 +341,9 @@ def run_device_plan(
         kv_dequant = "e4m3" if kv_dtype == "e4m3" else "int8"
 
     kv_idx = dplan.kv_indices
-    if kv_indices_offset:
+    # kv_indices_offset may be a TRACED value: serving engines lax.scan over
+    # the layer axis and pass layer*num_pages as a per-iteration offset
+    if not (isinstance(kv_indices_offset, int) and kv_indices_offset == 0):
         kv_idx = kv_idx + kv_indices_offset
 
     partial_o, partial_lse = batch_paged_attention_run(

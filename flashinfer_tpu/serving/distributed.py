@@ -142,7 +142,9 @@ class DistributedServingEngine:
                 w = w.reshape(L, h, 2, two_i // 2)
             self.params[name] = _global_array(w, mesh, specs[name])
 
-        if config.kv_dtype == "fp8_e4m3":
+        # explicit fp8 discriminator (never inferred from kv_scale's value)
+        self._kv_fp8 = config.kv_dtype == "fp8_e4m3"
+        if self._kv_fp8:
             cache_dtype = jnp.int8  # e4m3 bits (see serving/engine.py)
             self._kv_scale = float(config.kv_scale)
         else:
@@ -275,6 +277,7 @@ class DistributedServingEngine:
             plan_meta=metas[0],
             interpret=self._interpret,
             greedy=cfg.greedy,
+            kv_fp8=self._kv_fp8,
             kv_scale=self._kv_scale,
         )
         toks = np.asarray(toks)
@@ -446,12 +449,13 @@ def _tp_sample(logits_local, key, sample_args, greedy, axis):
 @functools.partial(
     jax.jit,
     static_argnums=(1, 2, 3, 4, 5),
-    static_argnames=("mesh", "plan_meta", "interpret", "greedy", "kv_scale"),
+    static_argnames=("mesh", "plan_meta", "interpret", "greedy", "kv_fp8",
+                     "kv_scale"),
     donate_argnums=(6, 7),
 )
 def _dist_step(params, mc, page_size, page_bucket, R, B, k_cache, v_cache,
                blobs, plan_blobs, keys, sample_args, *, mesh, plan_meta,
-               interpret, greedy, kv_scale):
+               interpret, greedy, kv_fp8=False, kv_scale=1.0):
     tp = mesh.shape["tp"]
     hq_l = mc.num_qo_heads // tp
     hkv_l = mc.num_kv_heads // tp
@@ -478,14 +482,25 @@ def _dist_step(params, mc, page_size, page_bucket, R, B, k_cache, v_cache,
         page_ids = kv_indices[kv_indptr[slot_idx] + page_slot]
         entry_ids = positions % page_size
 
-        for layer in range(mc.num_layers):
-            xn = rmsnorm(x, params["attn_norm"][layer], mc.rms_eps)
-            q = (xn @ params["wq"][layer]).reshape(R, hq_l, d)
-            k = (xn @ params["wk"][layer]).reshape(R, hkv_l, d)
-            v = (xn @ params["wv"][layer]).reshape(R, hkv_l, d)
+        # lax.scan over the stacked [L, ...] weight axis: one layer trace,
+        # one layer's temporaries live at a time (serving/engine.py
+        # _run_layers rationale)
+        scan_params = {
+            k: v for k, v in params.items()
+            if k in ("wq", "wk", "wv", "wo", "w_gate_up", "w_down",
+                     "attn_norm", "mlp_norm")
+        }
+
+        def body(carry, xs):
+            x, kc, vc = carry
+            lp, layer = xs
+            xn = rmsnorm(x, lp["attn_norm"], mc.rms_eps)
+            q = (xn @ lp["wq"]).reshape(R, hq_l, d)
+            k = (xn @ lp["wk"]).reshape(R, hkv_l, d)
+            v = (xn @ lp["wv"]).reshape(R, hkv_l, d)
             q, k = apply_rope_pos_ids(q, k, positions,
                                       rope_theta=mc.rope_theta)
-            if kv_scale != 1.0:  # fp8 KV (int8-container e4m3 bits)
+            if kv_fp8:  # fp8 KV (int8-container e4m3 bits)
                 k = jax.lax.bitcast_convert_type(
                     (k.astype(jnp.float32) / kv_scale).astype(
                         jnp.float8_e4m3fn), jnp.int8)
@@ -500,21 +515,27 @@ def _dist_step(params, mc, page_size, page_bucket, R, B, k_cache, v_cache,
             attn = run_device_plan(
                 dplan, q, kc, vc, kv_layout=TensorLayout.NHD,
                 k_scale=kv_scale, v_scale=kv_scale,
-                kv_dtype="e4m3" if kv_scale != 1.0 else None,
+                kv_dtype="e4m3" if kv_fp8 else None,
                 kv_indices_offset=layer * num_pages, interpret=interpret,
             )
-            attn_partial = attn.reshape(R, hq_l * d) @ params["wo"][layer]
+            attn_partial = attn.reshape(R, hq_l * d) @ lp["wo"]
             xn2, x = allreduce_rmsnorm(
                 attn_partial.astype(jnp.float32), x,
-                params["mlp_norm"][layer], mc.rms_eps, axis_name="tp",
+                lp["mlp_norm"], mc.rms_eps, axis_name="tp",
             )
-            w13 = params["w_gate_up"][layer]  # [h, 2, i_local]
+            w13 = lp["w_gate_up"]  # [h, 2, i_local]
             gate_up = jnp.einsum("bh,hti->bti", xn2, w13.astype(xn2.dtype))
             act = silu_and_mul(gate_up.reshape(R, -1))
-            mlp_partial = act @ params["w_down"][layer]
+            mlp_partial = act @ lp["w_down"]
             x = x + jax.lax.psum(
                 mlp_partial.astype(jnp.float32), "tp"
             ).astype(x.dtype)
+            return (x, kc, vc), None
+
+        (x, kc, vc), _ = jax.lax.scan(
+            body, (x, kc, vc),
+            (scan_params, jnp.arange(mc.num_layers, dtype=jnp.int32)),
+        )
 
         x = rmsnorm(x, params["final_norm"], mc.rms_eps)
         x_sel = x[last_rows]  # [B, hidden] — each slot's next-token state

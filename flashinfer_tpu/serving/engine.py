@@ -43,7 +43,8 @@ from flashinfer_tpu.ops.sampling import top_k_top_p_sampling_from_probs, softmax
 from flashinfer_tpu.scheduler.native import PagePool
 from flashinfer_tpu.utils import TensorLayout, next_power_of_2, on_tpu
 
-__all__ = ["EngineConfig", "GenerationRequest", "LlamaServingEngine"]
+__all__ = ["EngineConfig", "GenerationRequest", "LlamaServingEngine",
+           "fuse_qkv_weights"]
 
 
 @dataclasses.dataclass
@@ -93,11 +94,16 @@ class LlamaServingEngine:
     ):
         self.cfg = config
         mc = config.model
+        if config.kv_dtype not in ("model", "bf16", "fp8_e4m3"):
+            raise ValueError(f"unknown kv_dtype {config.kv_dtype!r}")
+        if config.weight_dtype not in ("model", "fp8_e4m3"):
+            raise ValueError(f"unknown weight_dtype {config.weight_dtype!r}")
         self.params = params or llama_init_weights(jax.random.key(seed), mc)
-        if config.weight_dtype == "fp8_e4m3":
+        if config.weight_dtype == "fp8_e4m3" and self.params["wo"].dtype != jnp.int8:
             from flashinfer_tpu.models.llama import quantize_llama_weights_fp8
 
             self.params = quantize_llama_weights_fp8(self.params)
+        self.params = fuse_qkv_weights(self.params)
         self.pool = PagePool(config.num_pages, config.page_size)
         self.key = jax.random.key(seed + 1)
 
@@ -111,7 +117,10 @@ class LlamaServingEngine:
             mc.num_kv_heads,
             mc.head_dim,
         )
-        if config.kv_dtype == "fp8_e4m3":
+        # explicit fp8 discriminator — NEVER inferred from kv_scale's value
+        # (kv_dtype="fp8_e4m3" with kv_scale=1.0 is a legal config)
+        self._kv_fp8 = config.kv_dtype == "fp8_e4m3"
+        if self._kv_fp8:
             # e4m3 bits live in an int8 container: a float8-dtype cache
             # would cost a full bitcast copy per layer per step inside the
             # jitted run (ops/attention/batch.py run_device_plan note), and
@@ -264,7 +273,7 @@ class LlamaServingEngine:
             jnp.asarray(last_rows.astype(np.int32)),
             sub, self._sample_args(),
             interpret=self._interpret, greedy=self.cfg.greedy,
-            kv_scale=self._kv_scale,
+            kv_fp8=self._kv_fp8, kv_scale=self._kv_scale,
         )
         toks = np.asarray(toks)
         for r, t in zip(reqs, toks):
@@ -334,7 +343,7 @@ class LlamaServingEngine:
             self.k_cache, self.v_cache, jnp.asarray(blob),
             self._decode_wrapper.device_plan, sub, self._sample_args(),
             interpret=self._interpret, greedy=self.cfg.greedy,
-            kv_scale=self._kv_scale,
+            kv_fp8=self._kv_fp8, kv_scale=self._kv_scale,
         )
         toks = np.asarray(toks)
         out: List[Tuple[int, int]] = []
@@ -383,82 +392,119 @@ class LlamaServingEngine:
 # ---------------------------------------------------------------------------
 # jitted device steps (module-level so the compile cache is shared)
 
-
-def _layer_forward(*args, **kw):
-    layer = args[2]
-    with jax.named_scope(f"fi_layer_{layer}"):
-        return _layer_forward_inner(*args, **kw)
+# weights with a leading [num_layers, ...] axis — the lax.scan xs
+_PER_LAYER = ("wqkv", "wq", "wk", "wv", "wo", "w_gate_up", "w_down",
+              "attn_norm", "mlp_norm")
 
 
-def _wmm(x, params, name, layer=None):
-    """x @ params[name][layer], transparently decoding fp8 weights (e4m3
-    bits in int8 + per-output-channel scale applied to the small output)."""
-    w = params[name] if layer is None else params[name][layer]
+def _is_per_layer(name: str) -> bool:
+    base = name[: -len("_scale")] if name.endswith("_scale") else name
+    return base in _PER_LAYER
+
+
+def fuse_qkv_weights(params: Dict[str, jax.Array]) -> Dict[str, jax.Array]:
+    """Concatenate wq/wk/wv (and their fp8 scales) into one wqkv so the
+    decode step runs ONE [rows, h] x [h, (hq+2*hkv)*d] GEMM per layer —
+    at serving batch sizes all three projections are weight-read-bound and
+    three small-N GEMMs waste MXU ramp-up on each."""
+    if "wqkv" in params or "wq" not in params:
+        return params
+    p = dict(params)
+    p["wqkv"] = jnp.concatenate(
+        [p.pop("wq"), p.pop("wk"), p.pop("wv")], axis=-1)
+    if "wq_scale" in p:
+        p["wqkv_scale"] = jnp.concatenate(
+            [p.pop("wq_scale"), p.pop("wk_scale"), p.pop("wv_scale")],
+            axis=-1)
+    return p
+
+
+def _wmm(x, params, name):
+    """x @ params[name], transparently decoding fp8 weights (e4m3 bits in
+    int8 + per-output-channel scale applied to the small output). ``params``
+    holds either full stacked weights (head/lm use) or one scan slice."""
+    w = params[name]
     if w.dtype == jnp.int8:
         from flashinfer_tpu.ops.fp8 import e4m3_bits_to_bf16
 
-        s = params[name + "_scale"]
-        s = s if layer is None else s[layer]
         y = x @ e4m3_bits_to_bf16(w).astype(x.dtype)
-        return (y.astype(jnp.float32) * s).astype(x.dtype)
+        return (y.astype(jnp.float32) * params[name + "_scale"]).astype(
+            x.dtype)
     return x @ w
 
 
-def _layer_forward_inner(params, mc, layer, num_pages, x, positions, k_cache,
-                   v_cache, dplan, page_ids, entry_ids, valid, interpret,
-                   kv_scale=1.0):
-    """One transformer layer over the stacked-page-space cache.
-    x: [rows, hidden]; page_ids are LOCAL (layer offset applied here).
-    jax.named_scope labels nest the Pallas kernels under per-layer spans in
-    captured traces (profiler.summarize_trace) — the reference's
-    PROFILER_EVENT tag hierarchy (profiler.cuh:33) expressed as trace
-    metadata."""
+def _run_layers(params, mc, num_pages, x, positions, k_cache, v_cache,
+                dplan, page_ids, entry_ids, valid, interpret, kv_fp8,
+                kv_scale):
+    """All transformer layers via lax.scan over the stacked [L, ...] weight
+    axis. One trace regardless of depth, and — decisive for fp8 weights —
+    exactly ONE layer's dequantized bf16 temporaries are live at a time
+    (the Python-unrolled loop let XLA's buffer assignment keep several
+    layers' dequants alive, OOMing 8B prefill; docs/PERF.md round-2 note).
+
+    x: [rows, hidden]; page_ids are LOCAL (layer offset applied in-body).
+    Reference analogue: the engines the reference serves iterate layers
+    over one persistent workspace (prefill.py:1226 wrappers)."""
     rows = x.shape[0]
-    h, d = mc.hidden_size, mc.head_dim
+    d = mc.head_dim
     hq, hkv = mc.num_qo_heads, mc.num_kv_heads
+    scan_params = {k: v for k, v in params.items() if _is_per_layer(k)}
 
-    xn = rmsnorm(x, params["attn_norm"][layer], mc.rms_eps)
-    q = _wmm(xn, params, "wq", layer).reshape(rows, hq, d)
-    k = _wmm(xn, params, "wk", layer).reshape(rows, hkv, d)
-    v = _wmm(xn, params, "wv", layer).reshape(rows, hkv, d)
-    q, k = apply_rope_pos_ids(q, k, positions, rope_theta=mc.rope_theta)
+    def body(carry, xs):
+        x, kc, vc = carry
+        lp, layer = xs
+        xn = rmsnorm(x, lp["attn_norm"], mc.rms_eps)
+        if "wqkv" in lp:
+            qkv = _wmm(xn, lp, "wqkv")
+            q = qkv[:, : hq * d].reshape(rows, hq, d)
+            k = qkv[:, hq * d : (hq + hkv) * d].reshape(rows, hkv, d)
+            v = qkv[:, (hq + hkv) * d :].reshape(rows, hkv, d)
+        else:
+            q = _wmm(xn, lp, "wq").reshape(rows, hq, d)
+            k = _wmm(xn, lp, "wk").reshape(rows, hkv, d)
+            v = _wmm(xn, lp, "wv").reshape(rows, hkv, d)
+        q, k = apply_rope_pos_ids(q, k, positions, rope_theta=mc.rope_theta)
 
-    if kv_scale != 1.0:  # fp8 KV: store e4m3 bits (int8 container)
-        k = jax.lax.bitcast_convert_type(
-            (k.astype(jnp.float32) / kv_scale).astype(jnp.float8_e4m3fn),
-            jnp.int8)
-        v = jax.lax.bitcast_convert_type(
-            (v.astype(jnp.float32) / kv_scale).astype(jnp.float8_e4m3fn),
-            jnp.int8)
-    # in-place scatter into the global page space (drop padding rows)
-    pids = jnp.where(valid, page_ids + layer * num_pages, k_cache.shape[0])
-    k_cache = k_cache.at[pids, entry_ids].set(
-        k.astype(k_cache.dtype), mode="drop")
-    v_cache = v_cache.at[pids, entry_ids].set(
-        v.astype(v_cache.dtype), mode="drop")
-    attn = run_device_plan(
-        dplan, q, k_cache, v_cache, kv_layout=TensorLayout.NHD,
-        k_scale=kv_scale, v_scale=kv_scale,
-        kv_dtype="e4m3" if kv_scale != 1.0 else None,
-        kv_indices_offset=layer * num_pages, interpret=interpret,
-    )
-    x = x + _wmm(attn.reshape(rows, hq * d), params, "wo", layer
-                 ).astype(x.dtype)
-    xn = rmsnorm(x, params["mlp_norm"][layer], mc.rms_eps)
-    x = x + _wmm(silu_and_mul(_wmm(xn, params, "w_gate_up", layer)),
-                 params, "w_down", layer).astype(x.dtype)
+        if kv_fp8:  # store e4m3 bits (int8 container; ops/fp8.py rationale)
+            k = jax.lax.bitcast_convert_type(
+                (k.astype(jnp.float32) / kv_scale).astype(jnp.float8_e4m3fn),
+                jnp.int8)
+            v = jax.lax.bitcast_convert_type(
+                (v.astype(jnp.float32) / kv_scale).astype(jnp.float8_e4m3fn),
+                jnp.int8)
+        # in-place scatter into the global page space (drop padding rows)
+        pids = jnp.where(valid, page_ids + layer * num_pages, kc.shape[0])
+        kc = kc.at[pids, entry_ids].set(k.astype(kc.dtype), mode="drop")
+        vc = vc.at[pids, entry_ids].set(v.astype(vc.dtype), mode="drop")
+        attn = run_device_plan(
+            dplan, q, kc, vc, kv_layout=TensorLayout.NHD,
+            k_scale=kv_scale, v_scale=kv_scale,
+            kv_dtype="e4m3" if kv_fp8 else None,
+            kv_indices_offset=layer * num_pages, interpret=interpret,
+        )
+        x = x + _wmm(attn.reshape(rows, hq * d), lp, "wo").astype(x.dtype)
+        xn = rmsnorm(x, lp["mlp_norm"], mc.rms_eps)
+        x = x + _wmm(silu_and_mul(_wmm(xn, lp, "w_gate_up")),
+                     lp, "w_down").astype(x.dtype)
+        return (x, kc, vc), None
+
+    with jax.named_scope("fi_layers"):
+        (x, k_cache, v_cache), _ = jax.lax.scan(
+            body, (x, k_cache, v_cache),
+            (scan_params, jnp.arange(mc.num_layers, dtype=jnp.int32)),
+        )
     return x, k_cache, v_cache
 
 
 @functools.partial(
     jax.jit,
     static_argnums=(1, 2, 3),
-    static_argnames=("interpret", "kv_scale", "greedy"),
+    static_argnames=("interpret", "kv_fp8", "kv_scale", "greedy"),
     donate_argnums=(4, 5),
 )
 def _decode_step(params, mc, page_size, page_bucket, k_cache, v_cache,
                  blob, dplan, key, sample_args, *, interpret, greedy,
-                 kv_scale=1.0):
+                 kv_fp8=False, kv_scale=1.0):
     B = (blob.shape[0] - page_bucket - 1) // 5
     tokens = blob[:B]
     positions = blob[B : 2 * B]
@@ -472,11 +518,10 @@ def _decode_step(params, mc, page_size, page_bucket, k_cache, v_cache,
     page_slot = positions // page_size
     page_ids = kv_indices[kv_indptr[jnp.arange(B, dtype=jnp.int32)] + page_slot]
     entry_ids = positions % page_size
-    for layer in range(mc.num_layers):
-        x, k_cache, v_cache = _layer_forward(
-            params, mc, layer, num_pages, x, positions, k_cache, v_cache,
-            dplan, page_ids, entry_ids, valid, interpret, kv_scale=kv_scale,
-        )
+    x, k_cache, v_cache = _run_layers(
+        params, mc, num_pages, x, positions, k_cache, v_cache,
+        dplan, page_ids, entry_ids, valid, interpret, kv_fp8, kv_scale,
+    )
     x = rmsnorm(x, params["final_norm"], mc.rms_eps)
     logits = _wmm(x, params, "lm_head").astype(jnp.float32)
     toks = _sample_tokens(logits, key, sample_args, greedy)
@@ -495,23 +540,22 @@ def _sample_tokens(logits, key, sample_args, greedy):
 @functools.partial(
     jax.jit,
     static_argnums=(1, 2),
-    static_argnames=("interpret", "kv_scale", "greedy"),
+    static_argnames=("interpret", "kv_fp8", "kv_scale", "greedy"),
     donate_argnums=(3, 4),
 )
 def _prefill_step(params, mc, page_size, k_cache, v_cache, tokens, positions,
                   batch_idx, valid, kv_indices, kv_indptr, kv_last, dplan,
                   last_rows, key, sample_args, *, interpret, greedy,
-                  kv_scale=1.0):
+                  kv_fp8=False, kv_scale=1.0):
     x = params["embedding"][tokens]
     num_pages = k_cache.shape[0] // mc.num_layers
     page_slot = positions // page_size
     page_ids = kv_indices[kv_indptr[batch_idx] + page_slot]
     entry_ids = positions % page_size
-    for layer in range(mc.num_layers):
-        x, k_cache, v_cache = _layer_forward(
-            params, mc, layer, num_pages, x, positions, k_cache, v_cache,
-            dplan, page_ids, entry_ids, valid, interpret, kv_scale=kv_scale,
-        )
+    x, k_cache, v_cache = _run_layers(
+        params, mc, num_pages, x, positions, k_cache, v_cache,
+        dplan, page_ids, entry_ids, valid, interpret, kv_fp8, kv_scale,
+    )
     x = rmsnorm(x, params["final_norm"], mc.rms_eps)
     x_last = x[last_rows]
     logits = _wmm(x_last, params, "lm_head").astype(jnp.float32)

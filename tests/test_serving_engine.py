@@ -109,9 +109,9 @@ def test_engine_fp8_weights():
                         weight_dtype="fp8_e4m3")
     e16 = LlamaServingEngine(cfg16, seed=3)
     e8 = LlamaServingEngine(cfg8, seed=3)
-    # quantized weights really are int8 bits
-    assert e8.params["wq"].dtype == jnp.int8
-    assert "wq_scale" in e8.params
+    # quantized weights really are int8 bits (wq/wk/wv fused to wqkv)
+    assert e8.params["wqkv"].dtype == jnp.int8
+    assert "wqkv_scale" in e8.params
 
     r16 = e16.add_request([5, 6, 7, 8], 6)
     r8 = e8.add_request([5, 6, 7, 8], 6)
@@ -122,7 +122,9 @@ def test_engine_fp8_weights():
     from flashinfer_tpu.ops.fp8 import e4m3_bits_to_bf16
     w16 = np.asarray(llama_init_weights(jax.random.key(3), mc)["wq"],
                      np.float32)
-    w8 = np.asarray(e4m3_bits_to_bf16(e8.params["wq"]), np.float32) * \
-        np.asarray(e8.params["wq_scale"], np.float32)
+    nq = mc.num_qo_heads * mc.head_dim  # wq slice of the fused wqkv
+    w8 = np.asarray(
+        e4m3_bits_to_bf16(e8.params["wqkv"][:, :, :nq]), np.float32
+    ) * np.asarray(e8.params["wqkv_scale"][:, :, :nq], np.float32)
     rel = np.abs(w8 - w16).max() / np.abs(w16).max()
     assert rel < 0.08, rel
