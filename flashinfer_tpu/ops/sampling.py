@@ -100,15 +100,23 @@ def sampling_from_probs(
     *,
     indices: Optional[jax.Array] = None,
     deterministic: bool = True,
+    backend: str = "auto",
 ) -> jax.Array:
     """Categorical sampling from (possibly unnormalized) probabilities
     (reference sampling.py sampling_from_probs). ``indices`` enables
     shared-probs batches: row i samples from probs[indices[i]]."""
     if indices is not None:
         probs = probs[indices]
-    batch = probs.shape[0]
+    probs = probs.astype(jnp.float32)
+    batch, vocab = probs.shape
+    if _use_pallas(backend, vocab):
+        # cumsum-free Gumbel-max draw, one HBM pass (scale-invariant, so
+        # unnormalized rows need no separate total)
+        dummy = jnp.ones((batch, 1))
+        return _family_call(probs, key, dummy.astype(jnp.int32), dummy,
+                            filt="none", out_mode="sample")
     u = jax.random.uniform(key, (batch,), jnp.float32)
-    return _inverse_cdf_sample(probs.astype(jnp.float32), u)
+    return _inverse_cdf_sample(probs, u)
 
 
 def sampling_from_logits(
@@ -180,13 +188,17 @@ def top_p_sampling_from_probs(
     *,
     indices: Optional[jax.Array] = None,
     deterministic: bool = True,
+    backend: str = "auto",
 ) -> jax.Array:
     """Nucleus sampling (reference sampling.py:697)."""
     if indices is not None:
         probs = probs[indices]
     probs = probs.astype(jnp.float32)
-    batch = probs.shape[0]
+    batch, vocab = probs.shape
     p = _as_row_param(top_p, batch)
+    if _use_pallas(backend, vocab):
+        return _family_call(probs, key, jnp.ones((batch, 1), jnp.int32), p,
+                            filt="top_p", out_mode="sample")
     t = _top_p_threshold(probs, p)
     masked = jnp.where(probs > t, probs, 0.0)
     u = jax.random.uniform(key, (batch,), jnp.float32)
@@ -200,13 +212,17 @@ def top_k_sampling_from_probs(
     *,
     indices: Optional[jax.Array] = None,
     deterministic: bool = True,
+    backend: str = "auto",
 ) -> jax.Array:
     """Top-k sampling (reference sampling.py top_k_sampling_from_probs)."""
     if indices is not None:
         probs = probs[indices]
     probs = probs.astype(jnp.float32)
-    batch = probs.shape[0]
+    batch, vocab = probs.shape
     k = _as_row_param(top_k, batch, jnp.int32)
+    if _use_pallas(backend, vocab):
+        return _family_call(probs, key, k, jnp.ones((batch, 1)),
+                            filt="top_k", out_mode="sample")
     t = _top_k_threshold(probs, k)
     masked = jnp.where(probs > t, probs, 0.0)
     u = jax.random.uniform(key, (batch,), jnp.float32)
@@ -220,6 +236,7 @@ def min_p_sampling_from_probs(
     *,
     indices: Optional[jax.Array] = None,
     deterministic: bool = True,
+    backend: str = "auto",
 ) -> jax.Array:
     """Min-p sampling: keep tokens with p >= min_p * max_p (reference
     sampling.py min_p_sampling_from_probs / MinPSamplingFromProbKernel
@@ -227,8 +244,11 @@ def min_p_sampling_from_probs(
     if indices is not None:
         probs = probs[indices]
     probs = probs.astype(jnp.float32)
-    batch = probs.shape[0]
+    batch, vocab = probs.shape
     mp = _as_row_param(min_p, batch)
+    if _use_pallas(backend, vocab):
+        return _family_call(probs, key, jnp.ones((batch, 1), jnp.int32), mp,
+                            filt="min_p", out_mode="sample")
     t = mp * jnp.max(probs, axis=-1, keepdims=True)
     masked = jnp.where(probs >= t, probs, 0.0)
     u = jax.random.uniform(key, (batch,), jnp.float32)
@@ -272,6 +292,9 @@ def top_k_top_p_sampling_from_probs(
         tp = _top_p_threshold(probs1, p)
         masked = jnp.where(probs1 > tp, probs1, 0.0)
     elif filter_apply_order == "joint":
+        if _use_pallas(backend, probs.shape[-1]):
+            return _family_call(probs, key, k, p,
+                                filt="top_k_top_p_joint", out_mode="sample")
         tk = _top_k_threshold(probs, k)
         tp = _top_p_threshold(probs, p)
         t = jnp.maximum(tk, tp)
@@ -301,31 +324,45 @@ def top_k_top_p_sampling_from_logits(
     )
 
 
-def top_p_renorm_probs(probs: jax.Array, top_p: float | jax.Array) -> jax.Array:
+def top_p_renorm_probs(probs: jax.Array, top_p: float | jax.Array,
+                       *, backend: str = "auto") -> jax.Array:
     """Zero out everything outside the top-p set and renormalize
     (reference sampling.py top_p_renorm_probs / renorm.cu)."""
     probs = probs.astype(jnp.float32)
-    p = _as_row_param(top_p, probs.shape[0])
+    batch, vocab = probs.shape
+    p = _as_row_param(top_p, batch)
+    if _use_pallas(backend, vocab):
+        return _family_call(probs, None, jnp.ones((batch, 1), jnp.int32), p,
+                            filt="top_p", out_mode="renorm")
     t = _top_p_threshold(probs, p)
     masked = jnp.where(probs > t, probs, 0.0)
     return masked / jnp.sum(masked, axis=-1, keepdims=True)
 
 
-def top_k_renorm_probs(probs: jax.Array, top_k: int | jax.Array) -> jax.Array:
+def top_k_renorm_probs(probs: jax.Array, top_k: int | jax.Array,
+                       *, backend: str = "auto") -> jax.Array:
     """(reference sampling.py top_k_renorm_probs)."""
     probs = probs.astype(jnp.float32)
-    k = _as_row_param(top_k, probs.shape[0], jnp.int32)
+    batch, vocab = probs.shape
+    k = _as_row_param(top_k, batch, jnp.int32)
+    if _use_pallas(backend, vocab):
+        return _family_call(probs, None, k, jnp.ones((batch, 1)),
+                            filt="top_k", out_mode="renorm")
     t = _top_k_threshold(probs, k)
     masked = jnp.where(probs > t, probs, 0.0)
     return masked / jnp.sum(masked, axis=-1, keepdims=True)
 
 
-def top_k_mask_logits(logits: jax.Array, top_k: int | jax.Array) -> jax.Array:
+def top_k_mask_logits(logits: jax.Array, top_k: int | jax.Array,
+                      *, backend: str = "auto") -> jax.Array:
     """Mask logits outside the top-k set to -inf (reference sampling.py
     top_k_mask_logits). Bisection runs on logits directly (monotone)."""
     x = logits.astype(jnp.float32)
     batch, vocab = x.shape
     k = _as_row_param(top_k, batch, jnp.int32)
+    if _use_pallas(backend, vocab):
+        return _family_call(x, None, k, jnp.ones((batch, 1)),
+                            filt="top_k", out_mode="mask_logits")
     lo = jnp.min(x, axis=-1, keepdims=True)
     hi = jnp.max(x, axis=-1, keepdims=True)
 
@@ -424,30 +461,36 @@ def _pallas_ok() -> bool:
 
 
 # ---------------------------------------------------------------------------
-# fused single-pass sampler (Pallas)
+# fused single-pass sampler family (Pallas)
 # ---------------------------------------------------------------------------
+#
+# One parameterized kernel covers the whole sampling suite (reference
+# sampling.cuh:835-1135 + renorm.cu ships one fused kernel per op): the row
+# tile is VMEM-resident, so the 32-iteration threshold bisections and the
+# categorical draw all run on on-chip data and HBM is touched exactly once
+# per element. The XLA paths above re-read [batch, vocab] from HBM per
+# bisection iteration (~32-64 full passes).
+#
+# Static parameters:
+#   filt     — which truncation set to compute:
+#              "none" | "top_k" | "top_p" | "min_p" | "top_k_top_p_seq"
+#              (top-k, renorm, then top-p: filter_apply_order="top_k_first")
+#              | "top_k_top_p_joint" (max of both pivots on raw probs)
+#   out_mode — "sample" (Gumbel-max token, [batch] i32)
+#              | "renorm" (masked probs renormalized, [batch, vocab] f32)
+#              | "mask_logits" (input kept/-inf in the LOGIT domain)
 
 
-def _fused_sampler_kernel(seed_ref, probs_ref, k_ref, p_ref, out_ref,
-                          scratch_ref, *, vocab: int, rows: int):
-    """All of top-k bisect -> renorm -> top-p bisect -> Gumbel-max sample on
-    a VMEM-resident row tile. The XLA path re-reads [batch, vocab] from HBM
-    ~64x (32 bisection iterations x 2 thresholds); here HBM is touched
-    exactly once per element — the TPU analogue of the reference's
-    single-pass rejection kernels (sampling.cuh:950, 1135)."""
-    import jax.experimental.pallas.tpu as pltpu_mod  # noqa: F401
-
-    probs = probs_ref[:].astype(jnp.float32)  # [rows, Vpad]
-    vpad = probs.shape[1]
+def _family_kernel(seed_ref, x_ref, k_ref, p_ref, out_ref, *scratch_refs,
+                   vocab: int, rows: int, filt: str, out_mode: str):
+    x = x_ref[:].astype(jnp.float32)  # [rows, Vpad]
+    vpad = x.shape[1]
     lane = jax.lax.broadcasted_iota(jnp.int32, (rows, vpad), 1)
-    probs = jnp.where(lane < vocab, probs, 0.0)
+    real = lane < vocab
     k = k_ref[:]  # [rows, 1] int32
     p = p_ref[:]  # [rows, 1] f32
 
-    def bisect(pr, ok_fn):
-        lo = jnp.zeros((rows, 1), jnp.float32)
-        hi = jnp.max(pr, axis=-1, keepdims=True)
-
+    def bisect(pr, ok_fn, lo, hi):
         def body(_, carry):
             lo, hi = carry
             mid = (lo + hi) * 0.5
@@ -459,68 +502,133 @@ def _fused_sampler_kernel(seed_ref, probs_ref, k_ref, p_ref, out_ref,
         lo, hi = jax.lax.fori_loop(0, _BISECT_ITERS, body, (lo, hi))
         return lo
 
-    # top-k threshold (mirrors _top_k_threshold)
-    tk = bisect(
-        probs,
-        lambda pr, mid: jnp.sum(
-            (pr > mid).astype(jnp.int32), axis=-1, keepdims=True
-        ) >= k,
-    )
-    tk = jnp.where(k >= vocab, -1.0, tk)
-    p1 = jnp.where(probs > tk, probs, 0.0)
-    p1 = p1 / jnp.sum(p1, axis=-1, keepdims=True)
-    scratch_ref[:] = p1
+    def topk_pivot(pr):
+        t = bisect(
+            pr,
+            lambda pr, mid: jnp.sum(
+                (pr > mid).astype(jnp.int32), axis=-1, keepdims=True) >= k,
+            jnp.zeros((rows, 1), jnp.float32),
+            jnp.max(pr, axis=-1, keepdims=True),
+        )
+        return jnp.where(k >= vocab, -1.0, t)
 
-    # top-p threshold on the renormalized distribution (_top_p_threshold)
-    p1 = scratch_ref[:]
-    tp = bisect(
-        p1,
-        lambda pr, mid: jnp.sum(
-            jnp.where(pr > mid, pr, 0.0), axis=-1, keepdims=True
-        ) >= p,
-    )
-    tp = jnp.where(p >= 1.0, -1.0, tp)
+    def topp_pivot(pr):
+        t = bisect(
+            pr,
+            lambda pr, mid: jnp.sum(
+                jnp.where(pr > mid, pr, 0.0), axis=-1, keepdims=True) >= p,
+            jnp.zeros((rows, 1), jnp.float32),
+            jnp.max(pr, axis=-1, keepdims=True),
+        )
+        return jnp.where(p >= 1.0, -1.0, t)
 
-    # Gumbel-max categorical draw over the masked set (argmax replaces the
-    # XLA path's inverse-CDF cumsum — no prefix scan on 128k lanes)
-    from jax.experimental.pallas import tpu as pltpu
+    if out_mode == "mask_logits":
+        # top-k in the logit domain (mirrors top_k_mask_logits): bisect
+        # between the row min and max; padded lanes sit at -inf
+        xm = jnp.where(real, x, -jnp.inf)
+        lo0 = jnp.min(jnp.where(real, x, jnp.inf), axis=-1, keepdims=True)
+        hi0 = jnp.max(xm, axis=-1, keepdims=True)
+        t = bisect(
+            xm,
+            lambda pr, mid: jnp.sum(
+                (pr > mid).astype(jnp.int32), axis=-1, keepdims=True) >= k,
+            lo0, hi0,
+        )
+        t = jnp.where(k >= vocab, t - 1.0, t)
+        out_ref[:] = jnp.where(xm > t, x, -jnp.inf)
+        return
 
-    pltpu.prng_seed(seed_ref[0] + pl.program_id(0))
-    bits = pltpu.prng_random_bits((rows, vpad))
-    # uint32 -> f32 casts don't lower in Mosaic; shift to 24 bits and
-    # bitcast through int32 (positive range) first
-    u24 = jax.lax.shift_right_logical(
-        pltpu.bitcast(bits, jnp.uint32), jnp.uint32(8)
-    )
-    u = (
-        pltpu.bitcast(u24, jnp.int32).astype(jnp.float32)
-        * (1.0 / (1 << 24))
-        + 1e-7
-    )
+    probs = jnp.where(real, x, 0.0)
+    if filt == "none":
+        masked = probs
+    elif filt == "top_k":
+        masked = jnp.where(probs > topk_pivot(probs), probs, 0.0)
+    elif filt == "top_p":
+        masked = jnp.where(probs > topp_pivot(probs), probs, 0.0)
+    elif filt == "min_p":
+        t = p * jnp.max(probs, axis=-1, keepdims=True)
+        masked = jnp.where(probs >= t, probs, 0.0)
+    elif filt == "top_k_top_p_joint":
+        t = jnp.maximum(topk_pivot(probs), topp_pivot(probs))
+        masked = jnp.where(probs > t, probs, 0.0)
+    elif filt == "top_k_top_p_seq":
+        p1 = jnp.where(probs > topk_pivot(probs), probs, 0.0)
+        p1 = p1 / jnp.sum(p1, axis=-1, keepdims=True)
+        # round-trip through VMEM scratch so the pre-renorm temporaries
+        # retire before the second bisection (bounds Mosaic's liveness)
+        scratch_refs[0][:] = p1
+        p1 = scratch_refs[0][:]
+        masked = jnp.where(p1 > topp_pivot(p1), p1, 0.0)
+    else:
+        raise ValueError(filt)
+
+    if out_mode == "renorm":
+        out_ref[:] = masked / jnp.sum(masked, axis=-1, keepdims=True)
+        return
+
+    # out_mode == "sample": Gumbel-max categorical draw over the masked set
+    # (argmax replaces the XLA path's inverse-CDF cumsum — no prefix scan
+    # on 128k lanes). Scale-invariant, so unnormalized rows are fine.
+    # Randomness is a counter-based hash of (seed, global row, lane) — a
+    # murmur3 finalizer in int32 ops — rather than pltpu.prng_random_bits,
+    # which returns zeros under the TPU interpreter and would make interpret
+    # runs (CI) silently degenerate to argmax.
+    row = jax.lax.broadcasted_iota(jnp.int32, (rows, vpad), 0)
+    x32 = (seed_ref[0]
+           + (pl.program_id(0) * rows + row) * jnp.int32(-1640531527)
+           + lane * jnp.int32(40503))
+
+    def mix(h):
+        h = jnp.bitwise_xor(h, jax.lax.shift_right_logical(h, 16))
+        h = h * jnp.int32(-2048144789)   # 0x85ebca6b
+        h = jnp.bitwise_xor(h, jax.lax.shift_right_logical(h, 13))
+        h = h * jnp.int32(-1028477387)   # 0xc2b2ae35
+        h = jnp.bitwise_xor(h, jax.lax.shift_right_logical(h, 16))
+        return h
+
+    u24 = jax.lax.shift_right_logical(mix(mix(x32)), 8)  # 24 positive bits
+    u = u24.astype(jnp.float32) * (1.0 / (1 << 24)) + 1e-7
     g = -jnp.log(-jnp.log(u))
-    keep = jnp.logical_and(p1 > tp, lane < vocab)
-    scored = jnp.where(keep, jnp.log(p1) + g, -jnp.inf)
+    keep = jnp.logical_and(masked > 0.0, real)
+    scored = jnp.where(keep, jnp.log(masked) + g, -jnp.inf)
     out_ref[:] = jnp.argmax(scored, axis=-1, keepdims=True).astype(jnp.int32)
 
 
-def _fused_top_k_top_p_sample(probs, key, k, p, interpret=False):
-    """Pallas path of top_k_top_p_sampling_from_probs (top_k_first order).
-    probs f32/bf16 [batch, vocab]; k [batch,1] i32; p [batch,1] f32."""
-    from jax.experimental import pallas as pl_mod  # noqa: F401
-
-    batch, vocab = probs.shape
+def _family_call(x, key, k, p, *, filt: str, out_mode: str,
+                 interpret: bool = False):
+    """Invoke the fused sampler family. x [batch, vocab] (probs, or logits
+    for out_mode="mask_logits"); k [batch,1] i32; p [batch,1] f32; key is a
+    PRNG key (sample mode) or None."""
+    batch, vocab = x.shape
     rows = 8
     vpad = round_up(vocab, 128)
     bpad = round_up(batch, rows)
-    probs = jnp.pad(probs, ((0, bpad - batch), (0, vpad - vocab)))
+    x = jnp.pad(x, ((0, bpad - batch), (0, vpad - vocab)))
     k = jnp.pad(k, ((0, bpad - batch), (0, 0)), constant_values=1)
     p = jnp.pad(p, ((0, bpad - batch), (0, 0)), constant_values=1.0)
-    seed = jax.random.randint(key, (1,), 0, 2**31 - 1, jnp.int32)
+    if key is not None:
+        seed = jax.random.randint(key, (1,), 0, 2**31 - 1, jnp.int32)
+    else:
+        seed = jnp.zeros((1,), jnp.int32)
 
     from jax.experimental.pallas import tpu as pltpu
 
+    if out_mode == "sample":
+        out_shape = jax.ShapeDtypeStruct((bpad, 1), jnp.int32)
+        out_spec = pl.BlockSpec((rows, 1), lambda i, *s: (i, 0),
+                                memory_space=pltpu.VMEM)
+    else:
+        out_shape = jax.ShapeDtypeStruct((bpad, vpad), jnp.float32)
+        out_spec = pl.BlockSpec((rows, vpad), lambda i, *s: (i, 0),
+                                memory_space=pltpu.VMEM)
+    scratch = (
+        [pltpu.VMEM((rows, vpad), jnp.float32)]
+        if filt == "top_k_top_p_seq" else []
+    )
+
     out = pl.pallas_call(
-        functools.partial(_fused_sampler_kernel, vocab=vocab, rows=rows),
+        functools.partial(_family_kernel, vocab=vocab, rows=rows,
+                          filt=filt, out_mode=out_mode),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
             grid=(bpad // rows,),
@@ -532,18 +640,41 @@ def _fused_top_k_top_p_sample(probs, key, k, p, interpret=False):
                 pl.BlockSpec((rows, 1), lambda i, *s: (i, 0),
                              memory_space=pltpu.VMEM),
             ],
-            out_specs=pl.BlockSpec((rows, 1), lambda i, *s: (i, 0),
-                                   memory_space=pltpu.VMEM),
-            scratch_shapes=[pltpu.VMEM((rows, vpad), jnp.float32)],
+            out_specs=out_spec,
+            scratch_shapes=scratch,
         ),
-        out_shape=jax.ShapeDtypeStruct((bpad, 1), jnp.int32),
+        out_shape=out_shape,
         # TPU-semantic interpret mode: the plain HLO interpreter has no
         # prng_seed/prng_random_bits rules
         interpret=pltpu.InterpretParams() if interpret else False,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+            # the [rows, vocab] f32 tile + its elementwise temporaries
+            # exceed Mosaic's default 16M scoped-vmem budget at 128k
+            # vocabularies once grid>1 double-buffers the input; the
+            # physical VMEM is far larger — raise the cap instead of
+            # shrinking rows (which would halve HBM streaming efficiency)
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
         cost_estimate=pl.CostEstimate(
             flops=bpad * vpad * 70,
-            bytes_accessed=bpad * vpad * probs.dtype.itemsize,
+            bytes_accessed=bpad * vpad * x.dtype.itemsize,
             transcendentals=bpad * vpad * 3,
         ),
-    )(seed, probs, k, p)
-    return out[:batch, 0]
+    )(seed, x, k, p)
+    if out_mode == "sample":
+        return out[:batch, 0]
+    return out[:batch, :vocab]
+
+
+def _fused_top_k_top_p_sample(probs, key, k, p, interpret=False):
+    """Pallas path of top_k_top_p_sampling_from_probs (top_k_first order).
+    probs f32/bf16 [batch, vocab]; k [batch,1] i32; p [batch,1] f32."""
+    return _family_call(probs, key, k, p, filt="top_k_top_p_seq",
+                        out_mode="sample", interpret=interpret)
+
+
+def _use_pallas(backend: str, vocab: int) -> bool:
+    return backend == "pallas" or (
+        backend == "auto" and vocab >= 4096 and _pallas_ok()
+    )

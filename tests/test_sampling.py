@@ -200,6 +200,98 @@ def test_chain_speculative_sampling_reject_first():
     np.testing.assert_array_equal(out[0, 1:], [-1, -1])
 
 
+def test_fused_family_renorm_and_mask_match_xla():
+    """Pallas family renorm/mask outputs == the XLA paths (same bisection
+    algorithm on the VMEM-resident tile)."""
+    from flashinfer_tpu.ops.sampling import _family_call
+
+    rng = np.random.default_rng(11)
+    batch, vocab = 12, 640
+    logits = rng.standard_normal((batch, vocab)).astype(np.float32) * 3
+    probs = jnp.asarray(
+        np.exp(logits) / np.exp(logits).sum(-1, keepdims=True), jnp.float32)
+    kk = jnp.full((batch, 1), 9, jnp.int32)
+    pp = jnp.full((batch, 1), 0.75, jnp.float32)
+    ones_i = jnp.ones((batch, 1), jnp.int32)
+    ones_f = jnp.ones((batch, 1), jnp.float32)
+
+    got = np.asarray(_family_call(probs, None, kk, ones_f,
+                                  filt="top_k", out_mode="renorm",
+                                  interpret=True))
+    want = np.asarray(top_k_renorm_probs(probs, 9, backend="xla"))
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-7)
+
+    got = np.asarray(_family_call(probs, None, ones_i, pp,
+                                  filt="top_p", out_mode="renorm",
+                                  interpret=True))
+    want = np.asarray(top_p_renorm_probs(probs, 0.75, backend="xla"))
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-7)
+
+    x = jnp.asarray(logits)
+    got = np.asarray(_family_call(x, None, kk, ones_f,
+                                  filt="top_k", out_mode="mask_logits",
+                                  interpret=True))
+    want = np.asarray(top_k_mask_logits(x, 9, backend="xla"))
+    np.testing.assert_array_equal(np.isfinite(got), np.isfinite(want))
+    fin = np.isfinite(want)
+    np.testing.assert_allclose(got[fin], want[fin], rtol=1e-6)
+
+    # k >= vocab / p >= 1 keep everything
+    got = np.asarray(_family_call(probs, None,
+                                  jnp.full((batch, 1), vocab, jnp.int32),
+                                  ones_f, filt="top_k", out_mode="renorm",
+                                  interpret=True))
+    np.testing.assert_allclose(got, np.asarray(probs), rtol=1e-5, atol=1e-7)
+
+
+def test_fused_family_samplers_stay_in_set():
+    """Each fused sampler only ever draws from its admissible set, and the
+    unfiltered Gumbel draw reproduces the distribution."""
+    from flashinfer_tpu.ops.sampling import _family_call
+
+    rng = np.random.default_rng(12)
+    batch, vocab = 16, 384
+    logits = rng.standard_normal((batch, vocab)) * 4
+    probs_np = (np.exp(logits) / np.exp(logits).sum(-1, keepdims=True)
+                ).astype(np.float32)
+    probs = jnp.asarray(probs_np)
+    kk = jnp.full((batch, 1), 6, jnp.int32)
+    pp = jnp.full((batch, 1), 0.7, jnp.float32)
+    mp = jnp.full((batch, 1), 0.25, jnp.float32)
+    ones_i = jnp.ones((batch, 1), jnp.int32)
+    ones_f = jnp.ones((batch, 1), jnp.float32)
+
+    cases = {
+        "top_k": (kk, ones_f,
+                  lambda r: set(np.argsort(-r)[:6].tolist())),
+        "top_p": (ones_i, pp, lambda r: _topp_set(r, 0.7)),
+        "min_p": (ones_i, mp,
+                  lambda r: set(np.nonzero(r >= 0.25 * r.max())[0].tolist())),
+        "top_k_top_p_joint": (
+            kk, pp,
+            lambda r: set(np.argsort(-r)[:6].tolist()) & _topp_set(r, 0.7)),
+    }
+    for filt, (karg, parg, set_fn) in cases.items():
+        for i in range(6):
+            toks = np.asarray(_family_call(
+                probs, jax.random.key(100 + i), karg, parg,
+                filt=filt, out_mode="sample", interpret=True))
+            for b in range(batch):
+                assert toks[b] in set_fn(probs_np[b]), (filt, b, toks[b])
+
+    # unfiltered categorical: empirical freq ~ probs on a repeated row
+    p1 = _probs(np.random.default_rng(13), 1, 16)
+    rep = jnp.asarray(np.repeat(p1, 512, axis=0))
+    draws = []
+    for i in range(8):
+        draws.append(np.asarray(_family_call(
+            rep, jax.random.key(200 + i),
+            jnp.ones((512, 1), jnp.int32), jnp.ones((512, 1), jnp.float32),
+            filt="none", out_mode="sample", interpret=True)))
+    freq = np.bincount(np.concatenate(draws), minlength=16) / (512 * 8)
+    np.testing.assert_allclose(freq, p1[0], atol=0.03)
+
+
 def test_fused_sampler_kernel_interpret():
     """Pallas single-pass sampler: every draw lies in the top-k/top-p set
     and high-probability tokens dominate (Gumbel-max categorical)."""
