@@ -121,8 +121,11 @@ FiPlan* fi_plan_create(
       for (int64_t c = 0; c < nkc; ++c) {
         int64_t s = c * kv_chunk_size;
         int64_t e = std::min(s + kv_chunk_size, kv_lens[r]);
+        // clip to the tile's causal bound: kv above the LAST row's
+        // diagonal is invisible to every row in the tile (matches the
+        // NumPy spec's kv_end clip)
+        if (causal) e = std::min(e, kv_upper);
         if (e <= s) continue;
-        if (causal && s >= kv_upper) continue;
         items.push_back({r, t, c, s, e, qpb});
       }
     }

@@ -118,9 +118,11 @@ def deepseek_init_weights(key, cfg: DeepSeekConfig) -> Dict[str, jax.Array]:
     }
 
 
-def _mla_qkv(params, cfg, layer, xn, positions):
+def _mla_qkv(params, cfg, layer, xn, positions, rope: bool = True):
     """Common projections: returns absorbed q_nope [n, nh, dc],
-    q_pe [n, nh, dp], c_kv [n, dc], k_pe [n, dp] (rope applied)."""
+    q_pe [n, nh, dp], c_kv [n, dc], k_pe [n, dp] (rope applied unless
+    rope=False — the fp8 path defers rope to the fused
+    mla_rope_quantize_fp8 prologue)."""
     n = xn.shape[0]
     nh, dn, dp, dc = (cfg.num_heads, cfg.head_dim_qk_nope,
                       cfg.head_dim_kpe, cfg.head_dim_ckv)
@@ -128,12 +130,14 @@ def _mla_qkv(params, cfg, layer, xn, positions):
     q_nope, q_pe = q[..., :dn], q[..., dn:]
     c_kv = xn @ params["w_dkv"][layer]  # [n, dc]
     k_pe = xn @ params["w_kpe"][layer]  # [n, dp]
+    # absorb W_uk into q: q_abs[h] = q_nope[h] @ W_uk[h]
+    q_abs = jnp.einsum("nhd,hdc->nhc", q_nope, params["w_uk"][layer])
+    if not rope:
+        return q_abs.astype(xn.dtype), q_pe, c_kv, k_pe
     # rope on the pe parts (k_pe is single-"head")
     q_pe, k_pe_r = apply_rope_pos_ids(
         q_pe, k_pe[:, None, :], positions, rope_theta=cfg.rope_theta
     )
-    # absorb W_uk into q: q_abs[h] = q_nope[h] @ W_uk[h]
-    q_abs = jnp.einsum("nhd,hdc->nhc", q_nope, params["w_uk"][layer])
     return q_abs.astype(xn.dtype), q_pe, c_kv, k_pe_r[:, 0]
 
 
@@ -213,10 +217,21 @@ def deepseek_decode_step(
     #               or a single shared one; plan covers this step's batch)
     *,
     interpret: Optional[bool] = None,
+    kv_scale: float = 1.0,
+    cos_sin_cache: Optional[jax.Array] = None,
 ) -> Tuple[jax.Array, jax.Array, jax.Array]:
-    """One paged decode step. Returns (logits, new_ckv, new_kpe)."""
-    from flashinfer_tpu.ops.page import append_paged_mla_kv_cache
+    """One paged decode step. Returns (logits, new_ckv, new_kpe).
 
+    FP8 serving (reference config 4 + fp8, decode.py:2298): pass int8
+    ckv/kpe caches (e4m3 bit containers), the dequant ``kv_scale``, and a
+    ``cos_sin_cache`` ([max_pos, d_kpe] f32, rope_cos_sin_cache) — new
+    tokens then run the fused ``mla_rope_quantize_fp8`` prologue (rope +
+    quantize in one elementwise pass) and attention consumes the quantized
+    cache via the in-kernel bit decode."""
+    from flashinfer_tpu.ops.page import append_paged_mla_kv_cache
+    from flashinfer_tpu.ops.rope import mla_rope_quantize_fp8
+
+    fp8 = ckv_caches.dtype == jnp.int8
     B = token_ids.shape[0]
     x = params["embedding"][token_ids]
     batch_indices = jnp.arange(B, dtype=jnp.int32)
@@ -225,7 +240,24 @@ def deepseek_decode_step(
         w = mla_wrappers[layer] if isinstance(mla_wrappers, (list, tuple)) \
             else mla_wrappers
         xn = rmsnorm(x, params["attn_norm"][layer], cfg.rms_eps)
-        q_abs, q_pe, c_kv, k_pe = _mla_qkv(params, cfg, layer, xn, positions)
+        if fp8:
+            assert cos_sin_cache is not None, (
+                "fp8 MLA decode needs a cos_sin_cache for the fused "
+                "rope+quantize prologue"
+            )
+            q_abs, q_pe_raw, c_kv, k_pe_raw = _mla_qkv(
+                params, cfg, layer, xn, positions, rope=False
+            )
+            q_pe, k_pe, _, c_kv = mla_rope_quantize_fp8(
+                q_pe_raw, k_pe_raw, q_abs, c_kv, cos_sin_cache, positions,
+                quantize_dtype=jnp.int8,
+                quant_scale_kv=1.0 / kv_scale,
+                quantize_q=False,
+            )
+        else:
+            q_abs, q_pe, c_kv, k_pe = _mla_qkv(
+                params, cfg, layer, xn, positions
+            )
         ckv_c, kpe_c = append_paged_mla_kv_cache(
             c_kv, k_pe, batch_indices, positions,
             ckv_caches[layer], kpe_caches[layer],
@@ -233,7 +265,8 @@ def deepseek_decode_step(
         )
         new_ckv.append(ckv_c)
         new_kpe.append(kpe_c)
-        attn_c = w.run(q_abs, q_pe, ckv_c, kpe_c, interpret=interpret)
+        attn_c = w.run(q_abs, q_pe, ckv_c, kpe_c, interpret=interpret,
+                       ckv_scale=kv_scale, kpe_scale=kv_scale)
         attn = jnp.einsum(
             "nhc,hcd->nhd", attn_c.astype(jnp.float32),
             params["w_uv"][layer].astype(jnp.float32),

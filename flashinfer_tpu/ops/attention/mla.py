@@ -37,6 +37,13 @@ from flashinfer_tpu.ops.attention.batch import (
     _bucket,
     round_up_np,
 )
+from flashinfer_tpu.ops.attention.kernels.paged import (
+    _E4M3_EXP_SHIFT,
+    _E4M3_SHIFT_SCALE,
+    _VMEM_BUDGET,
+    _e4m3_decode_rows,
+    _permute_kv_offsets,
+)
 from flashinfer_tpu.ops.attention.reference import attention_reference
 from flashinfer_tpu.ops.attention.state import gather_merge_states
 from flashinfer_tpu.scheduler.plan import (
@@ -60,6 +67,8 @@ _NUM_PLAN = 12
 def _mla_kernel(
     *refs,
     sm_scale: float,
+    v_scale: float,
+    kv_dequant: Optional[str],
     causal: bool,
     group: int,
     tile_q: int,
@@ -142,64 +151,182 @@ def _mla_kernel(
 
     page0, sub_start, remaining = descriptors(w, j)
     valid_item = plan_refs[_REQ][w] >= 0
+    fp8 = kv_dequant == "e4m3"
+    half = tile_k // 2
 
-    @pl.when(jnp.logical_and(valid_item, remaining > 0))
-    def _compute():
-        col_valid = (
-            jax.lax.broadcasted_iota(jnp.int32, (tile_k, 1), 0) < remaining
-        )
-        # zero rows beyond the valid kv range: they hold whatever the DMA
+    def _body(masked: bool):
+        # zero V rows beyond the valid kv range: they hold whatever the DMA
         # left behind (NaN in interpret mode) and 0*NaN would poison the PV
         # dot. Only the V use needs it — the QK side is masked through s
         # (where(mask, ...) below), so garbage K rows never survive; this
         # saves full [tile_k, d] cleanup passes over ckv and kpe.
-        s = jax.lax.dot_general(
-            q_ckv_ref[0], ckv_buf[slot], (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        ) + jax.lax.dot_general(
-            q_pe_ref[0], kpe_buf[slot], (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
+        q_ckv = q_ckv_ref[0]
+        q_pe = q_pe_ref[0]
+        dn = (((1,), (1,)), ((), ()))
+        if fp8:
+            # fp8 caches ship as int8 bits (pre-v6 TPUs have no hw fp8);
+            # packed bit decode yields even/odd row halves at 2^-120 scale.
+            # 2^60 on the tiny q tiles keeps QK products in f32 normal
+            # range; sm_scale (folded by the run wrapper) carries the other
+            # 2^60, and v_scale carries 2^60 for the PV side.
+            ce, co = _e4m3_decode_rows(ckv_buf[slot])
+            pe_e, pe_o = _e4m3_decode_rows(kpe_buf[slot])
+            qc = (q_ckv * q_ckv.dtype.type(_E4M3_SHIFT_SCALE)).astype(ce.dtype)
+            qp = (q_pe * q_pe.dtype.type(_E4M3_SHIFT_SCALE)).astype(ce.dtype)
+            s = jnp.concatenate(
+                [
+                    jax.lax.dot_general(
+                        qc, ce, dn, preferred_element_type=jnp.float32
+                    ) + jax.lax.dot_general(
+                        qp, pe_e, dn, preferred_element_type=jnp.float32
+                    ),
+                    jax.lax.dot_general(
+                        qc, co, dn, preferred_element_type=jnp.float32
+                    ) + jax.lax.dot_general(
+                        qp, pe_o, dn, preferred_element_type=jnp.float32
+                    ),
+                ],
+                axis=1,
+            )
+        else:
+            s = jax.lax.dot_general(
+                q_ckv, ckv_buf[slot], dn,
+                preferred_element_type=jnp.float32,
+            ) + jax.lax.dot_general(
+                q_pe, kpe_buf[slot], dn,
+                preferred_element_type=jnp.float32,
+            )
         # exp2 is the hardware transcendental: fold log2(e) into the scale
         s = s * (sm_scale * 1.4426950408889634)
 
-        qo_local0 = plan_refs[_QO_TILE][w] * tile_q
-        row = jax.lax.broadcasted_iota(jnp.int32, (tile_q, tile_k), 0)
-        col = jax.lax.broadcasted_iota(jnp.int32, (tile_q, tile_k), 1)
-        q_tok = plan_refs[_Q_POS_BASE][w] + (qo_local0 + row) // group
-        kv_pos = plan_refs[_KV_START][w] + sub_start + col
-        mask = col < remaining
-        if causal:
-            mask = jnp.logical_and(mask, kv_pos <= q_tok)
+        if masked:
+            qo_local0 = plan_refs[_QO_TILE][w] * tile_q
+            row = jax.lax.broadcasted_iota(jnp.int32, (tile_q, tile_k), 0)
+            col = jax.lax.broadcasted_iota(jnp.int32, (tile_q, tile_k), 1)
+            vrow = jax.lax.broadcasted_iota(jnp.int32, (tile_k, 1), 0)
+            if fp8:
+                # packed decode permutes KV rows; positions/masks must use
+                # permuted coordinates
+                col = _permute_kv_offsets(col, tile_k)
+                vrow = _permute_kv_offsets(vrow, tile_k)
+            q_tok = plan_refs[_Q_POS_BASE][w] + (qo_local0 + row) // group
+            kv_pos = plan_refs[_KV_START][w] + sub_start + col
+            mask = col < remaining
+            if causal:
+                mask = jnp.logical_and(mask, kv_pos <= q_tok)
+            s = jnp.where(mask, s, _NEG_INF)
+            col_valid = vrow < remaining
 
-        s = jnp.where(mask, s, _NEG_INF)
         m_prev = m_ref[:]
         m_new = jnp.maximum(m_prev, jnp.max(s, axis=1, keepdims=True))
         m_safe = jnp.where(jnp.isneginf(m_new), 0.0, m_new)
-        p = jnp.where(mask, jnp.exp2(s - m_safe[:, :1]), 0.0)
+        if fp8:
+            # +60 on the exp2 argument makes P 2^60-scaled for free, so
+            # P @ V(2^-120) accumulates at 2^-60 — safely in f32 normal
+            # range; finalize rescales l by 2^-60 and v_scale carries the
+            # last 2^60
+            p = jnp.exp2(s - (m_safe[:, :1] - _E4M3_EXP_SHIFT))
+        else:
+            p = jnp.exp2(s - m_safe[:, :1])
+        if masked:
+            p = jnp.where(mask, p, 0.0)
         alpha = jnp.where(jnp.isneginf(m_prev), 0.0, jnp.exp2(m_prev - m_safe))
         l_ref[:] = l_ref[:] * alpha + jnp.sum(p, axis=1, keepdims=True)
         m_ref[:] = m_new
         # V IS the compressed KV — zero extra HBM traffic
-        v = jnp.where(col_valid, ckv_buf[slot], 0)
-        pv = jax.lax.dot_general(
-            p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
+        dn0 = (((1,), (0,)), ((), ()))
+        if fp8:
+            pb = p.astype(ce.dtype)
+            ve = jnp.where(col_valid[:half], ce, 0) if masked else ce
+            vo = jnp.where(col_valid[half:], co, 0) if masked else co
+            pv = jax.lax.dot_general(
+                pb[:, :half], ve, dn0, preferred_element_type=jnp.float32
+            ) + jax.lax.dot_general(
+                pb[:, half:], vo, dn0, preferred_element_type=jnp.float32
+            )
+        else:
+            v = jnp.where(col_valid, ckv_buf[slot], 0) if masked else (
+                ckv_buf[slot]
+            )
+            pv = jax.lax.dot_general(
+                p.astype(v.dtype), v, dn0, preferred_element_type=jnp.float32
+            )
         acc_ref[:] = acc_ref[:] * alpha[:, :1] + pv
+
+    # interior tiles (fully valid, causality can't bite — scalar-decided per
+    # grid step) skip mask construction and both where-passes, same
+    # specialization as the paged kernel's decode path
+    active = jnp.logical_and(valid_item, remaining > 0)
+    interior = remaining >= tile_k
+    if causal:
+        min_q_tok = plan_refs[_Q_POS_BASE][w] + (
+            plan_refs[_QO_TILE][w] * tile_q
+        ) // group
+        max_kv_pos = plan_refs[_KV_START][w] + sub_start + tile_k - 1
+        interior = jnp.logical_and(interior, min_q_tok >= max_kv_pos)
+
+    @pl.when(jnp.logical_and(active, interior))
+    def _compute_interior():
+        _body(masked=False)
+
+    @pl.when(jnp.logical_and(active, jnp.logical_not(interior)))
+    def _compute_masked():
+        _body(masked=True)
 
     @pl.when(j == nsub - 1)
     def _finalize():
         m = m_ref[:, :1]
         l = l_ref[:, :1]
+        if fp8:
+            # P ran 2^60-scaled (exp2 offset); bring l back to true scale so
+            # acc/l lands at 2^-60 (normal f32) and v_scale (x2^60) finishes
+            l = l * (2.0 ** -_E4M3_EXP_SHIFT)
         safe_l = jnp.where(l > 0, l, 1.0)
         out = acc_ref[:] / safe_l
+        if v_scale != 1.0:
+            out = out * v_scale
         m_safe = jnp.where(jnp.isneginf(m), 0.0, m)
         # m is base-2 (log2e folded into the scale); lse stays natural-log
         lse = jnp.where(
             l > 0, m_safe * 0.6931471805599453 + jnp.log(safe_l), _NEG_INF)
         out_ref[0] = out.astype(out_ref.dtype)
         lse_ref[0] = jnp.broadcast_to(lse, lse_ref.shape[1:])
+
+
+def _mla_tile_candidates(
+    *,
+    tile_q: int,
+    d_ckv: int,
+    d_kpe: int,
+    kv_itemsize: int,
+    page_size: int,
+    kv_chunk_size: int,
+) -> list:
+    """VMEM-legal tile_k candidates for the MLA kernel (the tile_candidates
+    analogue for a single 512+128-lane KV stream). Model: double-buffered
+    ckv+kpe tiles, fp8 decode temporaries (decoded bf16 halves + int32
+    intermediates, ~5 bytes/elem, int8 caches only), and ~3 [tile_q, tile_k]
+    f32 softmax temps per body x 2 specialized bodies (Mosaic stacks both
+    branches' temps — see the mosaic-tiling notes in kernels/paged.py)."""
+    dsum = d_ckv + d_kpe
+    fixed = (
+        tile_q * (2 * d_ckv + d_kpe) * 2  # q tiles (x2 dbuf) + out
+        + 3 * tile_q * max(d_ckv, _LANES) * 4  # acc/m/l f32
+    )
+    cands = []
+    tk = page_size
+    while tk <= min(4096, kv_chunk_size):
+        ok = kv_chunk_size % tk == 0
+        ok = ok and tk // page_size <= 64  # DMA semaphore budget (sflags)
+        # fp8 packed decode needs 4-byte-aligned row groups
+        ok = ok and not (kv_itemsize == 1 and tk % 4)
+        buf = 2 * tk * dsum * kv_itemsize
+        dec = 5 * tk * dsum if kv_itemsize == 1 else 0
+        temps = 6 * tile_q * tk * 4
+        if ok and buf + dec + temps + fixed <= _VMEM_BUDGET:
+            cands.append(tk)
+        tk *= 2
+    return cands or [page_size]
 
 
 def _mla_paged_run(
@@ -215,8 +342,12 @@ def _mla_paged_run(
     sm_scale: float,
     tile_k: int,
     interpret: Optional[bool],
+    v_scale: float = 1.0,
+    kv_dequant: Optional[str] = None,
     _tuned: bool = False,  # True inside a tuning probe (skip re-selection)
 ) -> Tuple[jax.Array, jax.Array]:
+    """sm_scale/v_scale arrive PRE-FOLDED (k_scale and the fp8 2^60 shifts
+    are folded by the wrapper — see BatchMLAPagedAttentionWrapper.run)."""
     if interpret is None:
         interpret = default_interpret()
     _, padded_rows, d_ckv_q = q_ckv_packed.shape
@@ -225,20 +356,19 @@ def _mla_paged_run(
     d_kpe = kpe_cache.shape[2]
     tile_q = plan_meta.tile_q
     T = plan_meta.num_work_items
-    tile_k = min(tile_k, plan_meta.kv_chunk_size)
-    tile_k = max(tile_k - tile_k % page_size, page_size)
-    assert plan_meta.kv_chunk_size % tile_k == 0
 
     # autotuner: persisted winner overrides the default tile_k (reference
-    # autotuner.py:349; tactics = page-aligned divisors of the chunk)
+    # autotuner.py:349; tactics = VMEM-legal page-aligned chunk divisors)
     from flashinfer_tpu.autotuner import AutoTuner
 
-    cand_tks = [
-        tk for tk in (128, 256, 512, 1024, 2048)
-        if tk % page_size == 0 and plan_meta.kv_chunk_size % tk == 0
-    ] or [tile_k]
-    if tile_k not in cand_tks:
-        cand_tks.append(tile_k)
+    cand_tks = _mla_tile_candidates(
+        tile_q=tile_q, d_ckv=d_ckv, d_kpe=d_kpe,
+        kv_itemsize=ckv_cache.dtype.itemsize, page_size=page_size,
+        kv_chunk_size=plan_meta.kv_chunk_size,
+    )
+    # default: the largest VMEM-legal tile (fewest grid steps)
+    if tile_k is None or tile_k not in cand_tks:
+        tile_k = cand_tks[-1]
     tactics = [{"tile_k": tk} for tk in sorted(cand_tks)]
     op_key = (
         f"mla_paged::ckv{d_ckv}xkpe{d_kpe}::tq{tile_q}"
@@ -264,6 +394,7 @@ def _mla_paged_run(
                     carry, qpe, ckv, kpe, ki, tuple(pa),
                     plan_meta=plan_meta, causal=causal, sm_scale=sm_scale,
                     tile_k=tactic["tile_k"], interpret=interpret,
+                    v_scale=v_scale, kv_dequant=kv_dequant,
                     _tuned=True,
                 )
                 dep = jnp.sum(o.astype(jnp.float32)) * 1e-30
@@ -278,6 +409,13 @@ def _mla_paged_run(
     if sel is not None:
         tile_k = sel["tile_k"]
     nsub = plan_meta.kv_chunk_size // tile_k
+    if kv_dequant == "e4m3":
+        assert ckv_cache.dtype == jnp.int8 and kpe_cache.dtype == jnp.int8, (
+            "fp8 MLA caches must arrive as int8 bit containers"
+        )
+        assert tile_k % 4 == 0, (
+            f"fp8 MLA needs tile_k % 4 == 0 (packed 4-byte decode), got {tile_k}"
+        )
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=_NUM_PLAN + 1,
@@ -311,6 +449,8 @@ def _mla_paged_run(
     kernel = functools.partial(
         _mla_kernel,
         sm_scale=sm_scale,
+        v_scale=v_scale,
+        kv_dequant=kv_dequant,
         causal=causal,
         group=plan_meta.gqa_group,
         tile_q=tile_q,
@@ -333,7 +473,10 @@ def _mla_paged_run(
         ),
         cost_estimate=pl.CostEstimate(
             flops=4 * T * tile_q * plan_meta.kv_chunk_size * d_ckv,
-            bytes_accessed=T * plan_meta.kv_chunk_size * (d_ckv + d_kpe) * 2,
+            bytes_accessed=(
+                T * plan_meta.kv_chunk_size * (d_ckv + d_kpe)
+                * ckv_cache.dtype.itemsize
+            ),
             transcendentals=T * tile_q * plan_meta.kv_chunk_size,
         ),
         interpret=interpret,
@@ -351,7 +494,7 @@ class BatchMLAPagedAttentionWrapper:
     """
 
     def __init__(self, *, backend: str = "auto", tile_q: Optional[int] = None,
-                 tile_k: int = 512):
+                 tile_k: Optional[int] = None):
         self._backend = backend
         self._tile_q = tile_q
         self._tile_k = tile_k
@@ -482,7 +625,14 @@ class BatchMLAPagedAttentionWrapper:
         *,
         return_lse: bool = False,
         interpret: Optional[bool] = None,
+        ckv_scale: float = 1.0,
+        kpe_scale: float = 1.0,
     ):
+        """ckv_scale/kpe_scale: FP8 cache dequant scales (the reference's
+        trtllm MLA decode takes bmm1_scale/bmm2_scale — decode.py:2298).
+        FP8 caches arrive as int8 bit containers (or float8_e4m3fn, which
+        costs a one-off bitcast copy); scales fold into sm_scale / the
+        output epilogue — zero per-element dequant multiplies."""
         st = self._state
         assert st is not None, "call plan() before run()"
         backend = self._backend
@@ -490,14 +640,21 @@ class BatchMLAPagedAttentionWrapper:
             backend = "pallas" if on_tpu() else "reference"
         if backend == "reference" and interpret is None:
             return self._run_reference(
-                q_nope, q_pe, ckv_cache, kpe_cache, return_lse
+                q_nope, q_pe, ckv_cache, kpe_cache, return_lse,
+                ckv_scale=ckv_scale, kpe_scale=kpe_scale,
             )
 
         nnz, h, d_ckv = q_nope.shape
         d_kpe = q_pe.shape[-1]
+        if ckv_cache.dtype == jnp.float8_e4m3fn:
+            ckv_cache = jax.lax.bitcast_convert_type(ckv_cache, jnp.int8)
+            kpe_cache = jax.lax.bitcast_convert_type(kpe_cache, jnp.int8)
+        kv_dequant = "e4m3" if ckv_cache.dtype == jnp.int8 else None
+
         # Mosaic can only DMA full 128-lane tiles: pad the rope part (64
-        # lanes) to 128. Zero pad lanes contribute 0 to the dot. Callers can
-        # avoid the per-run pad copy by storing kpe 128-padded.
+        # lanes) to 128. Zero pad lanes contribute 0 to the dot (int8 zero
+        # bytes decode to e4m3 zero). Callers can avoid the per-run pad copy
+        # by storing kpe 128-padded.
         d_kpe_pad = -(-d_kpe // _LANES) * _LANES
         if d_kpe_pad != d_kpe:
             q_pe = jnp.pad(q_pe, ((0, 0), (0, 0), (0, d_kpe_pad - d_kpe)))
@@ -505,6 +662,20 @@ class BatchMLAPagedAttentionWrapper:
                 kpe_cache, ((0, 0), (0, 0), (0, d_kpe_pad - d_kpe))
             )
             d_kpe = d_kpe_pad
+
+        # scale folding: s = sm_scale*(q_ckv.ckv*ckv_scale + q_pe.kpe*
+        # kpe_scale). Pre-scaling q_pe by kpe_scale/ckv_scale makes both
+        # dots share one factor, which folds into sm_scale; ckv_scale also
+        # dequants V (ckv IS V) via the output epilogue. The fp8 bit decode
+        # leaves values at 2^-120 scale: q carries 2^60 in-kernel, sm_scale
+        # and v_scale carry the other 2^60 each (kernels/paged.py:86).
+        sm_scale = st.sm_scale
+        v_scale = 1.0
+        if kv_dequant == "e4m3":
+            if kpe_scale != ckv_scale:
+                q_pe = q_pe * q_pe.dtype.type(kpe_scale / ckv_scale)
+            sm_scale = sm_scale * ckv_scale * _E4M3_SHIFT_SCALE
+            v_scale = ckv_scale * _E4M3_SHIFT_SCALE
 
         def pack(arr, d):
             # kvz=1: rows are (token, head) pairs
@@ -515,7 +686,8 @@ class BatchMLAPagedAttentionWrapper:
         partial_o, partial_lse = _mla_paged_run(
             pack(q_nope, d_ckv), pack(q_pe, d_kpe),
             ckv_cache, kpe_cache, st.kv_indices, st.plan_arrays,
-            plan_meta=st.plan, causal=st.causal, sm_scale=st.sm_scale,
+            plan_meta=st.plan, causal=st.causal, sm_scale=sm_scale,
+            v_scale=v_scale, kv_dequant=kv_dequant,
             tile_k=self._tile_k, interpret=interpret,
         )
         T, tile_q, dv = partial_o.shape
@@ -528,12 +700,25 @@ class BatchMLAPagedAttentionWrapper:
             return out, lse
         return out
 
-    def _run_reference(self, q_nope, q_pe, ckv_cache, kpe_cache, return_lse):
+    def _run_reference(self, q_nope, q_pe, ckv_cache, kpe_cache, return_lse,
+                       ckv_scale=1.0, kpe_scale=1.0):
+        from flashinfer_tpu.ops.fp8 import e4m3_bits_to_bf16
+
         st = self._state
         h = st.host
         nnz, heads, d_ckv = q_nope.shape
         outs, lses = [], []
         page_size = ckv_cache.shape[1]
+
+        def deq(c, scale):
+            if c.dtype == jnp.float8_e4m3fn:
+                c = jax.lax.bitcast_convert_type(c, jnp.int8)
+            if c.dtype == jnp.int8:
+                c = e4m3_bits_to_bf16(c).astype(jnp.float32) * scale
+            return c
+
+        ckv_cache = deq(ckv_cache, ckv_scale)
+        kpe_cache = deq(kpe_cache, kpe_scale)
         q = jnp.concatenate([q_nope, q_pe], axis=-1)
         for r in range(len(h["qo_indptr"]) - 1):
             q_r = q[h["qo_indptr"][r] : h["qo_indptr"][r + 1]]

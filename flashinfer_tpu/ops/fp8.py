@@ -34,6 +34,10 @@ def fp8_to_bf16(x: "jax.Array") -> "jax.Array":
 
     if x.dtype == jnp.float8_e4m3fn:
         return e4m3_bits_to_bf16(jax.lax.bitcast_convert_type(x, jnp.int8))
+    if x.dtype == jnp.int8:
+        # library-wide convention: int8 == e4m3 bits in a container
+        # (fp8-on-pre-v6 storage format), NOT integer values
+        return e4m3_bits_to_bf16(x)
     return x.astype(jnp.bfloat16)
 
 

@@ -244,17 +244,25 @@ def mla_rope_quantize_fp8(
     quantize_dtype=jnp.float8_e4m3fn,
     quant_scale_q: float = 1.0,
     quant_scale_kv: float = 1.0,
+    quantize_q: bool = True,
     **_out_compat,  # *_out preallocated-output args accepted for parity
 ) -> Tuple[jax.Array, jax.Array, jax.Array, jax.Array]:
     """Fused MLA RoPE + FP8 quantization (reference rope.py:1154
     mla_rope_quantize_fp8 / csrc/rope.cu): apply the cos-sin-cache rotary
-    embedding to the rope parts of the MLA query/key and quantize all four
-    pieces (rope'd + nope) to e4m3 in one pass — the critical prologue of
-    the FP8 MLA path (config 4 + fp8).
+    embedding to the rope parts of the MLA query/key and quantize the
+    pieces to e4m3 in one pass — the critical prologue of the FP8 MLA path
+    (config 4 + fp8).
 
     On TPU the fusion is one traced expression; XLA fuses the rotate,
     scale, and convert into a single elementwise pass over each operand.
-    Returns (q_rope_fp8, k_rope_fp8, q_nope_fp8, k_nope_fp8).
+    TPU-specific extensions:
+      * quantize_dtype=jnp.int8 emits e4m3 BITS in an int8 container —
+        the layout the Pallas MLA kernel consumes directly (pre-v6 TPUs
+        have no hardware fp8; see ops/fp8.py).
+      * quantize_q=False keeps the q pieces in their input dtype (roped but
+        unquantized): the TPU kernel's MXU takes bf16 q against the
+        bit-decoded cache, so quantizing q would only add decode work.
+    Returns (q_rope, k_rope_fp8, q_nope, k_nope_fp8).
     """
     assert cos_sin_cache.dtype == jnp.float32, "cos_sin_cache must be f32"
     rotary_dim = cos_sin_cache.shape[-1]
@@ -266,11 +274,16 @@ def mla_rope_quantize_fp8(
                 interleave=not is_neox)[:, 0]
 
     def quant(x, scale):
-        return (x.astype(jnp.float32) * scale).astype(quantize_dtype)
+        y = x.astype(jnp.float32) * scale
+        if quantize_dtype == jnp.int8:
+            return jax.lax.bitcast_convert_type(
+                y.astype(jnp.float8_e4m3fn), jnp.int8
+            )
+        return y.astype(quantize_dtype)
 
     return (
-        quant(qr, quant_scale_q),
+        quant(qr, quant_scale_q) if quantize_q else qr.astype(q_rope.dtype),
         quant(kr, quant_scale_kv),
-        quant(q_nope, quant_scale_q),
+        quant(q_nope, quant_scale_q) if quantize_q else q_nope,
         quant(k_nope, quant_scale_kv),
     )

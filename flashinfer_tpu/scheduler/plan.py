@@ -269,6 +269,11 @@ def _plan_attention_numpy(
         last_token = (qo_tile_idx * tile_q + tile_q - 1) // gqa_group
         kv_upper = q_pos_base + last_token + 1  # exclusive
         keep = kv_start < np.minimum(kv_upper, kv_lens[req_of_item])
+        # clip the chunk end to the tile's causal bound: kv above the LAST
+        # row's diagonal is invisible to every row, so diagonal-straddling
+        # chunks skip their fully-masked trailing subtiles (and their page
+        # DMAs) instead of computing -inf tiles
+        kv_end = np.minimum(kv_end, kv_upper)
     else:
         keep = np.ones(total_items, dtype=bool)
     keep &= kv_end > kv_start
@@ -380,7 +385,11 @@ def kv_major_order(plan: AttentionPlan) -> AttentionPlan:
     req = plan.request_indices[:n]
     kvt = plan.kv_tile_indices[:n]
     qot = plan.qo_tile_indices[:n]
-    order = np.lexsort((qot, kvt, req))
+    # qo tiles DESCENDING within each (req, kv_tile) group: causal clipping
+    # makes kv_end grow with the qo tile, and the dedup leader (the item
+    # that issues the DMA) must cover the largest kv_end so reusing items
+    # read a subset of the resident buffer, never past it
+    order = np.lexsort((-qot, kvt, req))
 
     def ro(a, fill):
         out = np.full(T, fill, np.int32)

@@ -1,6 +1,7 @@
 """Cascade + MLA wrappers vs oracle (reference: tests/attention/
 test_shared_prefix_kernels.py / test_deepseek_mla.py patterns)."""
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 import pytest
@@ -135,6 +136,88 @@ def test_mla_decode_matches_oracle(backend):
         np.testing.assert_allclose(
             np.asarray(lse[r]), np.asarray(ref_lse[0]), rtol=2e-3, atol=2e-3
         )
+
+
+def test_mla_fp8_decode_matches_dequant_oracle():
+    """FP8 (e4m3) MLA: int8-container ckv/kpe caches, in-kernel packed bit
+    decode with 2^±60 scale folds (reference fp8 MLA:
+    flashinfer/decode.py:2298 trtllm_batch_decode_with_kv_cache_mla +
+    mla.py:179 mla_rope_quantize)."""
+    rng = np.random.default_rng(7)
+    page_size, heads, d_ckv, d_kpe = 4, 4, 64, 32
+    kv_lens = [9, 22, 3]
+    batch = 3
+    indptr, indices, last = _page_table(rng, kv_lens, page_size, 12)
+    ckv = rng.standard_normal((12, page_size, d_ckv)).astype(np.float32)
+    kpe = rng.standard_normal((12, page_size, d_kpe)).astype(np.float32)
+    ckv_scale, kpe_scale = 0.11, 0.07
+    FP8 = jnp.float8_e4m3fn
+    ckv8 = jax.lax.bitcast_convert_type(
+        jnp.asarray(ckv / ckv_scale, FP8), jnp.int8)
+    kpe8 = jax.lax.bitcast_convert_type(
+        jnp.asarray(kpe / kpe_scale, FP8), jnp.int8)
+    q_nope = jnp.asarray(rng.standard_normal((batch, heads, d_ckv)),
+                         jnp.float32)
+    q_pe = jnp.asarray(rng.standard_normal((batch, heads, d_kpe)),
+                       jnp.float32)
+    sm = 1.0 / np.sqrt(d_ckv + d_kpe)
+
+    w = BatchMLAPagedAttentionWrapper(backend="pallas", tile_k=8)
+    w.plan(np.arange(batch + 1), indptr, indices, np.asarray(kv_lens), heads,
+           d_ckv, d_kpe, page_size, sm_scale=sm, kv_chunk_size=16)
+    out, lse = w.run(q_nope, q_pe, ckv8, kpe8, return_lse=True,
+                     interpret=True, ckv_scale=ckv_scale, kpe_scale=kpe_scale)
+
+    # oracle: dequantize (through the same e4m3 round-trip) then bf16 math
+    ckv_dq = np.asarray(jnp.asarray(ckv / ckv_scale, FP8), np.float32) * ckv_scale
+    kpe_dq = np.asarray(jnp.asarray(kpe / kpe_scale, FP8), np.float32) * kpe_scale
+    q = jnp.concatenate([q_nope, q_pe], -1)
+    for r in range(batch):
+        pages = indices[indptr[r]: indptr[r + 1]]
+        c = ckv_dq[pages].reshape(-1, d_ckv)[: kv_lens[r]]
+        p = kpe_dq[pages].reshape(-1, d_kpe)[: kv_lens[r]]
+        k = jnp.asarray(np.concatenate([c, p], -1))[:, None, :]
+        v = jnp.asarray(c)[:, None, :]
+        ref, ref_lse = attention_reference(q[r: r + 1], k, v, sm_scale=sm)
+        np.testing.assert_allclose(
+            np.asarray(out[r]), np.asarray(ref[0]), rtol=0.02, atol=0.02)
+        np.testing.assert_allclose(
+            np.asarray(lse[r]), np.asarray(ref_lse[0]), rtol=0.02, atol=0.02)
+
+
+def test_mla_fp8_split_kv_and_float8_input():
+    """Split-KV merge path + float8-dtype cache inputs (auto-bitcast)."""
+    rng = np.random.default_rng(8)
+    page_size, heads, d_ckv, d_kpe = 8, 2, 32, 32
+    kv_lens = [70]
+    indptr, indices, last = _page_table(rng, kv_lens, page_size, 12)
+    ckv = rng.standard_normal((12, page_size, d_ckv)).astype(np.float32)
+    kpe = rng.standard_normal((12, page_size, d_kpe)).astype(np.float32)
+    scale = 0.09
+    FP8 = jnp.float8_e4m3fn
+    ckv8 = jnp.asarray(ckv / scale, FP8)
+    kpe8 = jnp.asarray(kpe / scale, FP8)
+    q_nope = jnp.asarray(rng.standard_normal((1, heads, d_ckv)), jnp.float32)
+    q_pe = jnp.asarray(rng.standard_normal((1, heads, d_kpe)), jnp.float32)
+
+    w = BatchMLAPagedAttentionWrapper(backend="pallas", tile_k=16)
+    w.plan(np.arange(2), indptr, indices, np.asarray(kv_lens), heads,
+           d_ckv, d_kpe, page_size, kv_chunk_size=32)
+    out = w.run(q_nope, q_pe, ckv8, kpe8, interpret=True,
+                ckv_scale=scale, kpe_scale=scale)
+
+    w_ref = BatchMLAPagedAttentionWrapper(backend="reference")
+    w_ref.plan(np.arange(2), indptr, indices, np.asarray(kv_lens), heads,
+               d_ckv, d_kpe, page_size)
+    ref = w_ref.run(
+        q_nope, q_pe,
+        jnp.asarray(np.asarray(jnp.asarray(ckv / scale, FP8), np.float32)
+                    * scale),
+        jnp.asarray(np.asarray(jnp.asarray(kpe / scale, FP8), np.float32)
+                    * scale),
+    )
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=0.02,
+                               atol=0.02)
 
 
 def test_mla_split_kv():

@@ -81,6 +81,56 @@ def test_deepseek_decode_matches_dense():
     )
 
 
+def test_deepseek_fp8_decode_close_to_bf16():
+    """FP8 MLA serving end to end: int8-container ckv/kpe caches + the fused
+    mla_rope_quantize_fp8 prologue vs the same decode steps on f32 caches.
+    (reference config 4 + fp8: decode.py:2298 + mla.py:179)."""
+    from flashinfer_tpu.ops.rope import rope_cos_sin_cache
+
+    cfg = DeepSeekConfig.tiny()
+    params = deepseek_init_weights(jax.random.key(0), cfg)
+    rng = np.random.default_rng(3)
+    B, S, PS = 2, 4, 4
+    prompts = rng.integers(0, cfg.vocab_size, (B, S))
+    L = cfg.num_layers
+    sm_scale = 1.0 / math.sqrt(cfg.head_dim_qk_nope + cfg.head_dim_kpe)
+    kv_scale = 0.25
+    cos_sin = rope_cos_sin_cache(64, cfg.head_dim_kpe,
+                                 rope_theta=cfg.rope_theta)
+
+    def run(fp8: bool):
+        pool = PagePool(num_pages=16, page_size=PS)
+        seqs = [pool.create() for _ in range(B)]
+        dt = jnp.int8 if fp8 else jnp.float32
+        ckv = jnp.zeros((L, 16, PS, cfg.head_dim_ckv), dt)
+        kpe = jnp.zeros((L, 16, PS, cfg.head_dim_kpe), dt)
+        logits = None
+        for t in range(S):
+            for s in seqs:
+                pool.extend(s, t + 1)
+            kv_indices, kv_indptr, kv_last = _page_tables(pool, seqs)
+            w = BatchMLAPagedAttentionWrapper(backend="pallas")
+            w.plan(
+                np.arange(B + 1), np.asarray(kv_indptr),
+                np.asarray(kv_indices), np.full(B, t + 1), cfg.num_heads,
+                cfg.head_dim_ckv, cfg.head_dim_kpe, PS, causal=False,
+                sm_scale=sm_scale,
+            )
+            logits, ckv, kpe = deepseek_decode_step(
+                params, cfg, jnp.asarray(prompts[:, t], jnp.int32),
+                jnp.full((B,), t, jnp.int32), ckv, kpe,
+                kv_indices, kv_indptr, kv_last, w, interpret=True,
+                kv_scale=kv_scale if fp8 else 1.0,
+                cos_sin_cache=cos_sin if fp8 else None,
+            )
+        return np.asarray(logits)
+
+    lo_fp8 = run(True)
+    lo_bf16 = run(False)
+    # e4m3 cache quantization noise bounds the logit delta
+    np.testing.assert_allclose(lo_fp8, lo_bf16, rtol=0.1, atol=0.1)
+
+
 def test_mixtral_decode_matches_dense():
     cfg = MixtralConfig.tiny()
     params = mixtral_init_weights(jax.random.key(1), cfg)
