@@ -138,6 +138,60 @@ def bench_gemm(args) -> dict:
     }
 
 
+def bench_moe(args) -> dict:
+    """Fused-MoE layer throughput (reference benchmarks/routines moe).
+    --m tokens, --k hidden, --inter intermediate, Mixtral-8x7B layer by
+    default. --moe-backend pallas runs the tile-aligned grouped GEMM with
+    in-kernel fp8 dequant; xla is the ragged_dot path."""
+    import jax
+    import jax.numpy as jnp
+
+    from flashinfer_tpu.ops.fused_moe import fused_moe, route_tokens
+    from flashinfer_tpu.testing.utils import bench_tpu_time_differential
+
+    rng = np.random.default_rng(0)
+    m, hidden, inter = args.m, args.k, args.inter
+    e, top_k = args.num_experts, args.top_k
+    x0 = jnp.asarray(rng.standard_normal((m, hidden)), jnp.bfloat16)
+    w13 = jnp.asarray(
+        rng.standard_normal((e, 2 * inter, hidden)) * 0.05, jnp.bfloat16)
+    w2 = jnp.asarray(
+        rng.standard_normal((e, hidden, inter)) * 0.05, jnp.bfloat16)
+    logits = jnp.asarray(rng.standard_normal((m, e)), jnp.float32)
+    ids, scales = route_tokens(logits, top_k)
+    s13 = s2 = None
+    if args.weight_dtype == "fp8_e4m3":
+        def q(w):
+            return jax.lax.bitcast_convert_type(
+                (w.astype(jnp.float32) / 0.05).astype(jnp.float8_e4m3fn),
+                jnp.int8,
+            )
+
+        s13 = jnp.full((e,), 0.05, jnp.float32)
+        s2 = jnp.full((e,), 0.05, jnp.float32)
+        w13, w2 = q(w13), q(w2)
+
+    def step(x, ids, scales):
+        out = fused_moe(
+            x, w13, w2, ids, scales, w13_scale=s13, w2_scale=s2,
+            backend=args.moe_backend, out_dtype=jnp.bfloat16,
+        )
+        return x + out * jnp.bfloat16(1e-3)
+
+    dt = bench_tpu_time_differential(
+        step, x0, ids, scales, n_short=2, n_long=args.iters + 2)
+    flops = 2 * m * top_k * 3 * inter * hidden  # gate+up+down mats
+    wbytes = e * 3 * inter * hidden * (1 if s13 is not None else 2)
+    return {
+        "routine": "moe",
+        "backend": args.moe_backend,
+        "weight_dtype": args.weight_dtype,
+        "median_time_ms": round(dt * 1e3, 4),
+        "tflops": round(flops / dt / 1e12, 3),
+        "weight_tb_per_sec": round(wbytes / dt / 1e12, 4),
+    }
+
+
 def bench_sampling(args) -> dict:
     import jax
     import jax.numpy as jnp
@@ -241,7 +295,7 @@ def main(argv=None) -> int:
         "BatchDecodeWithPagedKVCacheWrapper",
         "BatchPrefillWithPagedKVCacheWrapper",
         "BatchPrefillWithRaggedKVCacheWrapper",
-        "gemm", "sampling", "serving",
+        "gemm", "sampling", "serving", "moe",
     ])
     p.add_argument("--model", default="1b", choices=["tiny", "1b", "8b"])
     p.add_argument("--kv-dtype", default="model", choices=["model", "fp8_e4m3"])
@@ -263,6 +317,11 @@ def main(argv=None) -> int:
     p.add_argument("--k", type=int, default=4096)
     p.add_argument("--vocab", type=int, default=128256)
     p.add_argument("--iters", type=int, default=16)
+    p.add_argument("--num-experts", type=int, default=8)
+    p.add_argument("--top-k", type=int, default=2)
+    p.add_argument("--inter", type=int, default=14336)
+    p.add_argument("--moe-backend", default="pallas",
+                   choices=["pallas", "xla"])
     args = p.parse_args(argv)
 
     if args.routine == "gemm":
@@ -271,6 +330,8 @@ def main(argv=None) -> int:
         out = bench_sampling(args)
     elif args.routine == "serving":
         out = bench_serving(args)
+    elif args.routine == "moe":
+        out = bench_moe(args)
     else:
         out = bench_attention(args)
     print(json.dumps(out))

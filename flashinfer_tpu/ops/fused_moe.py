@@ -184,6 +184,134 @@ def _permute_by_expert(expert_ids: jax.Array, num_experts: int):
     return order, group_sizes
 
 
+def _scales_1d(s) -> bool:
+    return s is None or jnp.asarray(s).ndim <= 1
+
+
+def _pallas_moe_eligible(hidden_states, w13, w2, w13_scale, w2_scale,
+                         weights_kn: bool) -> bool:
+    """The Pallas grouped GEMM wants MXU-tileable dims (128 | every GEMM
+    dim), per-expert (or scalar) dequant scales, and bf16/fp8 operands.
+    Anything else routes to the XLA ragged_dot path."""
+    if weights_kn:
+        e, hidden, two_inter = w13.shape
+        _, inter, hidden2 = w2.shape
+    else:
+        e, two_inter, hidden = w13.shape
+        _, hidden2, inter = w2.shape
+    if hidden % 128 or two_inter % 256 or inter % 128 or hidden2 % 128:
+        return False
+    if not (_scales_1d(w13_scale) and _scales_1d(w2_scale)):
+        return False
+    ok_w = (jnp.bfloat16, jnp.float8_e4m3fn, jnp.int8)
+    if w13.dtype not in ok_w or w2.dtype not in ok_w:
+        return False
+    return hidden_states.dtype in (jnp.bfloat16, jnp.float32)
+
+
+def _select_moe_tm(m_rows: int, e: int, hidden: int, inter: int,
+                   fp8: bool) -> int:
+    """m-tile for the padded group layout. Small tiles waste less padding
+    (≤ e*(tm-1) zero rows); big tiles re-read expert weights fewer times
+    (reads/expert ≈ tiles/expert). Heuristic default, autotuner override
+    (tactics = the legal sizes; `flashinfer_tpu tune` profiles them)."""
+    from flashinfer_tpu.autotuner import AutoTuner
+
+    default = 256 if m_rows >= 4 * e * 128 else 128
+    tactics = [{"tm": t} for t in
+               sorted({default, 128, 256, 512}, key=lambda t: t != default)]
+    op_key = (
+        f"moe_gg_tm::m{_bucket_rows(m_rows)}::e{e}::h{hidden}::i{inter}"
+        f"::fp8{int(fp8)}"
+    )
+    sel = AutoTuner.get().cached(op_key, tactics)
+    return sel["tm"] if sel is not None else default
+
+
+def _bucket_rows(m: int) -> int:
+    b = 128
+    while b < m:
+        b *= 2
+    return b
+
+
+def _fused_moe_pallas(
+    hidden_states, w13, w2, expert_ids, expert_scales, gated_act,
+    w13_scale, w2_scale, out_dtype, interpret, weights_kn,
+):
+    """Padded-layout pipeline on the Pallas grouped GEMM (gemm_grouped.py):
+    ONE gather in, both GEMMs + activation in tile-aligned padded space,
+    one gather out. fp8 expert weights dequantize in-kernel — no bf16
+    weight copy is ever materialized (reference mainloop-dequant parity:
+    cutlass_fused_moe_kernels.cuh)."""
+    from flashinfer_tpu.ops.gemm_grouped import (
+        _choose_tiles,
+        fp8_k_permutation,
+        grouped_gemm_padded,
+        make_group_layout,
+    )
+
+    m, hidden = hidden_states.shape
+    e = w13.shape[0]
+    two_inter = w13.shape[2] if weights_kn else w13.shape[1]
+    inter = two_inter // 2
+    top_k = expert_ids.shape[1]
+
+    def prep(w):
+        if w.dtype in (jnp.float8_e4m3fn, jnp.float8_e5m2):
+            w = jax.lax.bitcast_convert_type(w, jnp.int8)
+        if not weights_kn:
+            w = jnp.swapaxes(w, 1, 2)
+        return w
+
+    w13 = prep(w13)  # [E, hidden, 2*inter]
+    w2 = prep(w2)  # [E, inter, hidden]
+    fp8_13 = w13.dtype == jnp.int8
+    fp8_2 = w2.dtype == jnp.int8
+
+    order, group_sizes = _permute_by_expert(expert_ids, e)
+    token_of = order // top_k
+    tm = _select_moe_tm(m * top_k, e, hidden, inter, fp8_13)
+    layout = make_group_layout(group_sizes, m * top_k, tm)
+    _, tk1 = _choose_tiles(
+        layout.m_pad, hidden, two_inter, tm, fp8_13, None, None
+    )
+    _, tk2 = _choose_tiles(layout.m_pad, inter, hidden, tm, fp8_2, None, None)
+
+    # gather in (token rows -> padded layout); the fp8 K-permutation is a
+    # static index fold into the same gather — no extra pass
+    row_src = jnp.where(layout.src_valid, token_of[layout.src_row], 0)
+    x_pad = hidden_states[row_src]
+    if fp8_13:
+        x_pad = x_pad[:, fp8_k_permutation(hidden, tk1)]
+    x_pad = jnp.where(layout.src_valid[:, None], x_pad, 0).astype(jnp.bfloat16)
+
+    h1 = grouped_gemm_padded(
+        x_pad, w13, layout.expert_of_tile, w13_scale,
+        tk=tk1, out_dtype=jnp.bfloat16, interpret=interpret,
+    )
+    g, u = h1[:, :inter], h1[:, inter:]
+    if fp8_2:
+        p2 = fp8_k_permutation(inter, tk2)
+        g, u = g[:, p2], u[:, p2]
+    g32 = g.astype(jnp.float32)
+    if gated_act == GatedActType.SwiGlu:
+        a = g32 * jax.nn.sigmoid(g32)
+    else:
+        a = jax.nn.gelu(g32, approximate=False)
+    h_mid = (a * u.astype(jnp.float32)).astype(jnp.bfloat16)
+
+    # f32 output: feeds the f32 top-k combine (same choice as the XLA path)
+    h2 = grouped_gemm_padded(
+        h_mid, w2, layout.expert_of_tile, w2_scale,
+        tk=tk2, out_dtype=jnp.float32, interpret=interpret,
+    )
+    inv = jnp.argsort(order)
+    h2_tok = h2[layout.padded_pos[inv]].reshape(m, top_k, hidden)
+    out = jnp.sum(h2_tok * expert_scales[:, :, None], axis=1)
+    return out.astype(out_dtype)
+
+
 def fused_moe(
     hidden_states: jax.Array,  # [m, hidden]
     w13: jax.Array,  # [e, 2*inter, hidden]  (gate||up rows, NT layout)
@@ -195,15 +323,50 @@ def fused_moe(
     w13_scale: Optional[jax.Array] = None,  # dequant scale(s) for fp8 weights
     w2_scale: Optional[jax.Array] = None,
     out_dtype=None,
+    backend: str = "auto",  # auto | pallas | xla
+    interpret: Optional[bool] = None,
+    weights_kn: bool = False,  # weights pre-transposed to [E, K, N]
 ) -> jax.Array:
     """Single-device fused MoE (the compute core of cutlass_fused_moe,
-    reference fused_moe/core.py:758). Quantized weights (fp8 per-tensor or
-    per-expert scales) dequantize on the way into the grouped GEMMs."""
+    reference fused_moe/core.py:758).
+
+    backend="pallas" (the TPU default when shapes are MXU-tileable) runs
+    both expert GEMMs on the tile-aligned Pallas grouped GEMM with
+    IN-KERNEL fp8 dequant — quantized weights are never materialized in
+    bf16 (reference parity: the CUTLASS mainloop dequant,
+    cutlass_fused_moe_kernels.cuh). backend="xla" is the ragged_dot
+    fallback (arbitrary shapes/dtypes; fp8 weights dequantize to a bf16
+    copy first). ``weights_kn`` marks weights already stored [E, K, N]
+    (engines do this once at load; saves a per-call transpose)."""
     m, hidden = hidden_states.shape
-    e, two_inter, _ = w13.shape
+    if weights_kn:
+        e, _, two_inter = w13.shape
+    else:
+        e, two_inter, _ = w13.shape
     inter = two_inter // 2
     top_k = expert_ids.shape[1]
     out_dtype = out_dtype or hidden_states.dtype
+
+    from flashinfer_tpu.utils import on_tpu
+
+    eligible = _pallas_moe_eligible(
+        hidden_states, w13, w2, w13_scale, w2_scale, weights_kn
+    )
+    if backend == "pallas" and not eligible:
+        raise ValueError(
+            "fused_moe backend='pallas' needs 128-divisible GEMM dims, "
+            "per-expert scales, and bf16/fp8 weights"
+        )
+    if backend == "pallas" or (
+        backend == "auto" and eligible and (on_tpu() or interpret)
+    ):
+        return _fused_moe_pallas(
+            hidden_states, w13, w2, expert_ids, expert_scales, gated_act,
+            w13_scale, w2_scale, out_dtype, interpret, weights_kn,
+        )
+    if weights_kn:
+        w13 = jnp.swapaxes(w13, 1, 2)
+        w2 = jnp.swapaxes(w2, 1, 2)
 
     def deq(w, s):
         if w.dtype in (jnp.float8_e4m3fn, jnp.float8_e5m2) or s is not None:

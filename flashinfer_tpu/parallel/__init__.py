@@ -10,7 +10,11 @@ from flashinfer_tpu.parallel.collectives import (
     moe_allreduce_fusion,
 )
 from flashinfer_tpu.parallel.mapping import Mapping
-from flashinfer_tpu.parallel.moe import fused_moe_ep, moe_ep_capacity
+from flashinfer_tpu.parallel.moe import (
+    fused_moe_ep,
+    fused_moe_tp,
+    moe_ep_capacity,
+)
 from flashinfer_tpu.parallel.pipeline import pipeline_forward
 from flashinfer_tpu.parallel.mesh import (
     MeshContext,
@@ -29,6 +33,7 @@ __all__ = [
     "Mapping",
     "MeshContext",
     "fused_moe_ep",
+    "fused_moe_tp",
     "moe_ep_capacity",
     "pipeline_forward",
     "make_mesh",

@@ -30,7 +30,77 @@ from flashinfer_tpu.ops.fused_moe import (
 )
 from flashinfer_tpu.parallel.collectives import MoeAlltoAll
 
-__all__ = ["fused_moe_ep", "moe_ep_capacity"]
+__all__ = ["fused_moe_ep", "fused_moe_tp", "moe_ep_capacity"]
+
+
+def _shard_w13_for_tp(w13: jax.Array) -> jax.Array:
+    """View w13 [E, 2*inter, hidden] as [E, 2, inter, hidden] so a
+    PartitionSpec on axis 2 shards the gate half AND the up half (a naive
+    split of the 2*inter axis would give one device all-gate, another
+    all-up — reference Mapping shards the inter dim, comm/mapping.py:127)."""
+    e, two_inter, hidden = w13.shape
+    return w13.reshape(e, 2, two_inter // 2, hidden)
+
+
+def fused_moe_tp(
+    hidden_states: jax.Array,  # [tokens, hidden] (replicated over moe_tp)
+    router_logits: jax.Array,  # [tokens, num_experts]
+    w13: jax.Array,  # [num_experts, 2*inter, hidden]
+    w2: jax.Array,  # [num_experts, hidden, inter]
+    mesh: Mesh,
+    *,
+    top_k: int,
+    axis_name: str = "moe_tp",
+    routing_method: RoutingMethodType = RoutingMethodType.Default,
+    gated_act: GatedActType = GatedActType.SwiGlu,
+    n_group: Optional[int] = None,
+    topk_group: Optional[int] = None,
+    routed_scaling_factor: float = 1.0,
+    routing_bias: Optional[jax.Array] = None,
+    w13_scale: Optional[jax.Array] = None,
+    w2_scale: Optional[jax.Array] = None,
+    backend: str = "auto",
+) -> jax.Array:
+    """MoE tensor parallelism (reference Mapping moe_tp factorization,
+    comm/mapping.py:127-148): every device holds ALL experts but 1/tp of
+    the intermediate dimension — gate, up, and down projections shard on
+    inter, and the down-projection partials reduce with one psum. No
+    token movement (vs EP's alltoall); the right choice when experts are
+    few/large or routing is skewed.
+
+    Exact (no capacity drops): bitwise-equivalent to the single-device
+    ``fused_moe`` up to f32 summation order."""
+    num_experts, two_inter, hidden = w13.shape
+    inter = two_inter // 2
+    tp = mesh.shape[axis_name]
+    assert inter % tp == 0, (inter, tp)
+
+    def body(x, logits, w13_l, w2_l):
+        ids, scales = route_tokens(
+            logits, top_k, routing_method,
+            n_group=n_group, topk_group=topk_group,
+            routed_scaling_factor=routed_scaling_factor,
+            routing_bias=routing_bias,
+        )
+        y = fused_moe(
+            x, w13_l.reshape(num_experts, -1, hidden), w2_l, ids, scales,
+            gated_act=gated_act,
+            w13_scale=w13_scale, w2_scale=w2_scale,
+            backend=backend, out_dtype=jnp.float32,
+        )
+        return jax.lax.psum(y, axis_name).astype(hidden_states.dtype)
+
+    rep = P(*(None,) * 2)
+    return jax.shard_map(
+        body,
+        mesh=mesh,
+        in_specs=(
+            rep, rep,
+            P(None, None, axis_name, None),  # [E, 2, inter/tp, hidden]
+            P(None, None, axis_name),  # [E, hidden, inter/tp]
+        ),
+        out_specs=rep,
+    )(hidden_states, router_logits, _shard_w13_for_tp(w13), w2)
 
 
 def moe_ep_capacity(
@@ -61,6 +131,7 @@ def fused_moe_ep(
     routing_bias: Optional[jax.Array] = None,
     w13_scale: Optional[jax.Array] = None,
     w2_scale: Optional[jax.Array] = None,
+    backend: str = "auto",  # fused_moe backend (pallas grouped GEMM | xla)
 ) -> jax.Array:
     """EP-sharded MoE layer: tokens sharded over ``axis_name``, experts
     sharded over the same axis (expert e lives on device e // (E/ep)).
@@ -100,6 +171,7 @@ def fused_moe_ep(
             jnp.ones((recv_x.shape[0], 1), jnp.float32),
             gated_act=gated_act,
             w13_scale=w13_scale, w2_scale=w2_scale,
+            backend=backend,
         )
         return a2a.combine(y, send_slot, ids, scales)
 

@@ -241,6 +241,44 @@ def test_fused_moe_ep_matches_single_device(routing):
                                rtol=2e-4, atol=2e-4)
 
 
+@pytest.mark.parametrize("fp8", [False, True])
+def test_fused_moe_tp_matches_single_device(fp8):
+    """fused_moe_tp (all experts on every device, intermediate dim sharded
+    over moe_tp, one psum on the down-projection partials — reference
+    Mapping moe_tp factorization, comm/mapping.py:127-148) equals the
+    single-device fused_moe. No capacity/drop semantics: TP MoE is exact."""
+    from flashinfer_tpu.parallel import fused_moe_tp
+    from flashinfer_tpu.ops.fused_moe import fused_moe, route_tokens
+
+    mesh = _mesh1d("moe_tp", 4)
+    rng = np.random.default_rng(13)
+    tokens, hidden, inter, e, top_k = 24, 64, 32, 4, 2
+    x = jnp.asarray(rng.standard_normal((tokens, hidden)) * 0.3, jnp.bfloat16)
+    logits = jnp.asarray(rng.standard_normal((tokens, e)), jnp.float32)
+    w13 = jnp.asarray(rng.standard_normal((e, 2 * inter, hidden)) * 0.1,
+                      jnp.bfloat16)
+    w2 = jnp.asarray(rng.standard_normal((e, hidden, inter)) * 0.1,
+                     jnp.bfloat16)
+    s13 = s2 = None
+    if fp8:
+        def q(w):
+            return jax.lax.bitcast_convert_type(
+                (w.astype(jnp.float32) / 0.1).astype(jnp.float8_e4m3fn),
+                jnp.int8)
+
+        w13, w2 = q(w13), q(w2)
+        s13 = jnp.full((e,), 0.1, jnp.float32)
+        s2 = jnp.full((e,), 0.1, jnp.float32)
+
+    out = fused_moe_tp(x, logits, w13, w2, mesh, top_k=top_k,
+                       w13_scale=s13, w2_scale=s2)
+    ids, scales = route_tokens(logits, top_k)
+    ref = fused_moe(x, w13, w2, ids, scales, w13_scale=s13, w2_scale=s2)
+    np.testing.assert_allclose(
+        np.asarray(out, np.float32), np.asarray(ref, np.float32),
+        rtol=2e-2, atol=2e-2)
+
+
 def test_fused_moe_ep_capacity_drop():
     """Overflowing token-copies drop out of the combine (contribute zero),
     never corrupt other tokens."""
