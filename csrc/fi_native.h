@@ -23,7 +23,7 @@
 extern "C" {
 #endif
 
-#define FI_NATIVE_ABI_VERSION 3
+#define FI_NATIVE_ABI_VERSION 4
 
 typedef struct FiPlan FiPlan;
 
@@ -101,6 +101,10 @@ int64_t fi_seq_create(FiPagePool* pool);
 /* Extend a sequence to hold new_len tokens; allocates pages as needed.
  * Returns 0 on success, -1 on OOM (state unchanged on failure). */
 int32_t fi_seq_extend(FiPagePool* pool, int64_t seq, int64_t new_len);
+/* Shrink a sequence to new_len tokens (speculative-decode rollback);
+ * frees tail pages that fall out of use.  Returns 0 on success, -1 on a
+ * bad handle or new_len > current length. */
+int32_t fi_seq_truncate(FiPagePool* pool, int64_t seq, int64_t new_len);
 /* Release all pages of a sequence and free the slot. */
 void fi_seq_release(FiPagePool* pool, int64_t seq);
 int64_t fi_seq_len(const FiPagePool* pool, int64_t seq);

@@ -80,6 +80,24 @@ int32_t fi_seq_extend(FiPagePool* pool, int64_t seq, int64_t new_len) {
   return 0;
 }
 
+int32_t fi_seq_truncate(FiPagePool* pool, int64_t seq, int64_t new_len) {
+  // Shrink a sequence (speculative-decode rollback: rejected draft tokens'
+  // KV rows become dead and their now-unused tail pages return to the free
+  // list; the rows themselves are overwritten when the positions are
+  // reached again).
+  if (seq < 0 || seq >= static_cast<int64_t>(pool->seqs.size())) return -1;
+  auto& s = pool->seqs[static_cast<size_t>(seq)];
+  if (!s.live || new_len < 0 || new_len > s.len) return -1;
+  const int64_t ps = pool->page_size;
+  int64_t need = (new_len + ps - 1) / ps;
+  while (static_cast<int64_t>(s.pages.size()) > need) {
+    pool->free_list.push_back(s.pages.back());
+    s.pages.pop_back();
+  }
+  s.len = new_len;
+  return 0;
+}
+
 void fi_seq_release(FiPagePool* pool, int64_t seq) {
   if (seq < 0 || seq >= static_cast<int64_t>(pool->seqs.size())) return;
   auto& s = pool->seqs[static_cast<size_t>(seq)];

@@ -168,7 +168,7 @@ _NATIVE_RUNTIME_SPEC = JitSpec(
     sources=("planner.cc", "page_pool.cc"),
 )
 
-_ABI_VERSION = 3
+_ABI_VERSION = 4
 
 
 def get_native_runtime() -> Optional[ctypes.CDLL]:

@@ -59,6 +59,9 @@ def _lib():
         lib.fi_seq_create.argtypes = [ctypes.c_void_p]
         lib.fi_seq_extend.restype = ctypes.c_int32
         lib.fi_seq_extend.argtypes = [ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64]
+        lib.fi_seq_truncate.restype = ctypes.c_int32
+        lib.fi_seq_truncate.argtypes = [
+            ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64]
         lib.fi_seq_release.argtypes = [ctypes.c_void_p, ctypes.c_int64]
         lib.fi_seq_len.restype = ctypes.c_int64
         lib.fi_seq_len.argtypes = [ctypes.c_void_p, ctypes.c_int64]
@@ -211,6 +214,19 @@ class PagePool:
             pages.append(self._free.pop())
         self._seqs[seq] = (new_len, pages)
         return True
+
+    def truncate(self, seq: int, new_len: int) -> None:
+        """Shrink a sequence (spec-decode rollback); frees tail pages."""
+        if self._lib is not None:
+            rc = self._lib.fi_seq_truncate(self._pool, seq, new_len)
+            assert rc == 0, (seq, new_len)
+            return
+        length, pages = self._seqs[seq]
+        assert 0 <= new_len <= length, (new_len, length)
+        need = -(-new_len // self.page_size)
+        while len(pages) > need:
+            self._free.append(pages.pop())
+        self._seqs[seq] = (new_len, pages)
 
     def release(self, seq: int) -> None:
         if self._lib is not None:

@@ -4,6 +4,9 @@ from flashinfer_tpu.serving.engine import (
     EngineConfig,
     GenerationRequest,
     LlamaServingEngine,
+    calibrate_kv_scales,
+    propose_ngram,
 )
 
-__all__ = ["EngineConfig", "GenerationRequest", "LlamaServingEngine"]
+__all__ = ["EngineConfig", "GenerationRequest", "LlamaServingEngine",
+           "calibrate_kv_scales", "propose_ngram"]

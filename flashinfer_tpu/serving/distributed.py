@@ -146,10 +146,12 @@ class DistributedServingEngine:
         self._kv_fp8 = config.kv_dtype == "fp8_e4m3"
         if self._kv_fp8:
             cache_dtype = jnp.int8  # e4m3 bits (see serving/engine.py)
-            self._kv_scale = float(config.kv_scale)
+            from flashinfer_tpu.serving.engine import _norm_kv_scale
+
+            self._kv_scale = _norm_kv_scale(config.kv_scale)
         else:
             cache_dtype = mc.dtype
-            self._kv_scale = 1.0
+            self._kv_scale = (1.0, 1.0)
         cache_shape = (
             self.dp,
             mc.num_layers * config.num_pages,
@@ -455,7 +457,7 @@ def _tp_sample(logits_local, key, sample_args, greedy, axis):
 )
 def _dist_step(params, mc, page_size, page_bucket, R, B, k_cache, v_cache,
                blobs, plan_blobs, keys, sample_args, *, mesh, plan_meta,
-               interpret, greedy, kv_fp8=False, kv_scale=1.0):
+               interpret, greedy, kv_fp8=False, kv_scale=(1.0, 1.0)):
     tp = mesh.shape["tp"]
     hq_l = mc.num_qo_heads // tp
     hkv_l = mc.num_kv_heads // tp
@@ -500,12 +502,13 @@ def _dist_step(params, mc, page_size, page_bucket, R, B, k_cache, v_cache,
             v = (xn @ lp["wv"]).reshape(R, hkv_l, d)
             q, k = apply_rope_pos_ids(q, k, positions,
                                       rope_theta=mc.rope_theta)
+            k_scale, v_scale = kv_scale
             if kv_fp8:  # fp8 KV (int8-container e4m3 bits)
                 k = jax.lax.bitcast_convert_type(
-                    (k.astype(jnp.float32) / kv_scale).astype(
+                    (k.astype(jnp.float32) / k_scale).astype(
                         jnp.float8_e4m3fn), jnp.int8)
                 v = jax.lax.bitcast_convert_type(
-                    (v.astype(jnp.float32) / kv_scale).astype(
+                    (v.astype(jnp.float32) / v_scale).astype(
                         jnp.float8_e4m3fn), jnp.int8)
             pids = jnp.where(
                 valid, page_ids + layer * num_pages, kc.shape[0]
@@ -514,7 +517,7 @@ def _dist_step(params, mc, page_size, page_bucket, R, B, k_cache, v_cache,
             vc = vc.at[pids, entry_ids].set(v.astype(vc.dtype), mode="drop")
             attn = run_device_plan(
                 dplan, q, kc, vc, kv_layout=TensorLayout.NHD,
-                k_scale=kv_scale, v_scale=kv_scale,
+                k_scale=k_scale, v_scale=v_scale,
                 kv_dtype="e4m3" if kv_fp8 else None,
                 kv_indices_offset=layer * num_pages, interpret=interpret,
             )

@@ -44,7 +44,7 @@ from flashinfer_tpu.scheduler.native import PagePool
 from flashinfer_tpu.utils import TensorLayout, next_power_of_2, on_tpu
 
 __all__ = ["EngineConfig", "GenerationRequest", "LlamaServingEngine",
-           "fuse_qkv_weights"]
+           "calibrate_kv_scales", "fuse_qkv_weights", "propose_ngram"]
 
 
 @dataclasses.dataclass
@@ -64,11 +64,23 @@ class EngineConfig:
     # "bf16"/"model" = model dtype; "fp8_e4m3" halves KV HBM footprint —
     # the attention kernel dequantizes in-register (ops/fp8.py bit decode).
     kv_dtype: str = "model"
-    kv_scale: float = 0.05  # static quant scale (amax/448-style, per model)
+    # per-tensor quant scale(s): one float for both K and V, or a
+    # (k_scale, v_scale) pair. Use calibrate_kv_scales() to compute
+    # amax/448 scales from sample prompts (the reference threads calibrated
+    # k_scale/v_scale through every fp8 attention API — decode.py run args)
+    kv_scale: object = 0.05
     # "fp8_e4m3" stores matmul weights as e4m3 bits + per-output-channel
     # scales (halves weight HBM; 8B fits one 16 GB chip). Dequant fuses
     # into the MXU operand reads at serving batch sizes (docs/PERF.md).
     weight_dtype: str = "model"
+    # Speculative decoding (reference: fast_decode_plan decode.py:2416 +
+    # XQA qo>1 verification + chain_speculative_sampling). spec_tokens=G>0
+    # proposes G draft tokens per step via prompt-lookup (n-gram match in
+    # the sequence's own context — no draft model needed) and verifies all
+    # G+1 positions in ONE qo>1 batch run; accepted drafts emit together,
+    # so a step can produce up to G+1 tokens.
+    spec_tokens: int = 0
+    spec_ngram: int = 3  # longest suffix n-gram the proposer matches
 
 
 @dataclasses.dataclass
@@ -126,7 +138,7 @@ class LlamaServingEngine:
             # jitted run (ops/attention/batch.py run_device_plan note), and
             # pre-v6 TPUs stream int8 at full rate but float8 ~8x slower
             cache_dtype = jnp.int8
-            self._kv_scale = float(config.kv_scale)
+            self._kv_scale = _norm_kv_scale(config.kv_scale)
             if not (config.interpret if config.interpret is not None
                     else not on_tpu()) and config.page_size < 32:
                 raise ValueError(
@@ -135,7 +147,7 @@ class LlamaServingEngine:
                 )
         else:
             cache_dtype = mc.dtype
-            self._kv_scale = 1.0
+            self._kv_scale = (1.0, 1.0)
         self.k_cache = jnp.zeros(shape, cache_dtype)
         self.v_cache = jnp.zeros(shape, cache_dtype)
 
@@ -155,6 +167,12 @@ class LlamaServingEngine:
             config.interpret if config.interpret is not None else not on_tpu()
         )
         self._page_bucket = next_power_of_2(config.num_pages)
+        if config.spec_tokens > 0:
+            # verify wrapper: qo_len = G+1 rows per slot through the same
+            # unified kernel (tile_q auto-sizes to the packed draft rows)
+            self._spec_wrapper = BatchPrefillWithPagedKVCacheWrapper(
+                kv_layout="NHD", backend="pallas"
+            )
         self.steps = 0
         self.generated_tokens = 0
 
@@ -188,6 +206,58 @@ class LlamaServingEngine:
                 return
             self.step()
 
+    def score(self, prompt) -> np.ndarray:
+        """Teacher-forced per-position next-token logits for one prompt
+        ([len(prompt), vocab] f32; row i predicts token i+1).
+
+        The prompt-logprobs / perplexity-eval surface serving engines
+        expose, and the accuracy gate for quantized configs (BASELINE.md
+        accuracy row): score the same prompt under bf16 / fp8-KV /
+        fp8-weight engines and compare distributions (tests/
+        test_accuracy.py). Uses scratch pages from the engine's pool;
+        running requests are untouched."""
+        mc = self.cfg.model
+        P = len(prompt)
+        seq = self.pool.create()
+        if not self.pool.extend(seq, P):
+            self.pool.release(seq)
+            raise RuntimeError("KV page pool exhausted")
+        try:
+            indptr, indices, last = self.pool.batch_export([seq])
+            padded_idx = np.zeros(self._page_bucket, np.int32)
+            padded_idx[: len(indices)] = indices
+            bucket = next_power_of_2(max(P, 8))
+            qo_indptr = np.asarray([0, P, bucket], np.int64)
+            plan_indptr = np.concatenate([indptr, [indptr[-1]]]).astype(
+                np.int32)
+            plan_last = np.concatenate([last, [0]]).astype(np.int32)
+            self._prefill_wrapper.plan(
+                qo_indptr, plan_indptr, padded_idx, plan_last,
+                mc.num_qo_heads, mc.num_kv_heads, mc.head_dim,
+                self.cfg.page_size, causal=True,
+                kv_chunk_size=self._kv_chunk(),
+            )
+            tokens = np.zeros(bucket, np.int64)
+            tokens[:P] = prompt
+            positions = np.zeros(bucket, np.int32)
+            positions[:P] = np.arange(P)
+            batch_idx = np.zeros(bucket, np.int32)
+            valid = np.zeros(bucket, bool)
+            valid[:P] = True
+            logits, self.k_cache, self.v_cache = _score_step(
+                self.params, mc, self.cfg.page_size,
+                self.k_cache, self.v_cache,
+                jnp.asarray(tokens), jnp.asarray(positions),
+                jnp.asarray(batch_idx), jnp.asarray(valid),
+                jnp.asarray(padded_idx), jnp.asarray(plan_indptr),
+                self._prefill_wrapper.device_plan,
+                interpret=self._interpret,
+                kv_fp8=self._kv_fp8, kv_scale=self._kv_scale,
+            )
+            return np.asarray(logits[:P])
+        finally:
+            self.pool.release(seq)
+
     # ----------------------------------------------------------------- step
 
     def step(self) -> List[Tuple[int, int]]:
@@ -196,7 +266,10 @@ class LlamaServingEngine:
         emitted: List[Tuple[int, int]] = []
         self._admit(emitted)
         if self.num_running:
-            emitted.extend(self._decode())
+            if self.cfg.spec_tokens > 0:
+                emitted.extend(self._spec_decode())
+            else:
+                emitted.extend(self._decode())
         self.steps += 1
         return emitted
 
@@ -288,6 +361,29 @@ class LlamaServingEngine:
         # merge overhead at 512 is ~3%
         return min(512, next_power_of_2(self.cfg.max_seq_len))
 
+    def _slot_tables(self, reqs):
+        """Expand the compact batch export into fixed B-slot CSR tables
+        (inactive slots: kv_len 0, empty page range)."""
+        B = self.cfg.max_batch
+        indptr, indices, last = self._batch_tables(reqs)
+        full_indptr = np.zeros(B + 1, np.int32)
+        full_last = np.zeros(B, np.int32)
+        kv_lens = np.zeros(B, np.int64)
+        counts = np.zeros(B, np.int64)
+        for i, r in enumerate(reqs):
+            s = r._slot
+            kv_lens[s] = self.pool.seq_len(r._seq)
+            full_last[s] = last[i]
+            counts[s] = indptr[i + 1] - indptr[i]
+        full_indptr[1:] = np.cumsum(counts)
+        slot_indices = np.zeros(self._page_bucket, np.int32)
+        for i, r in enumerate(reqs):
+            s = r._slot
+            slot_indices[full_indptr[s] : full_indptr[s + 1]] = indices[
+                indptr[i] : indptr[i + 1]
+            ]
+        return full_indptr, slot_indices, full_last, kv_lens
+
     def _decode(self) -> List[Tuple[int, int]]:
         mc, B = self.cfg.model, self.cfg.max_batch
         reqs = [r for r in self._slots if r is not None]
@@ -296,33 +392,16 @@ class LlamaServingEngine:
             if not self.pool.extend(r._seq, self.pool.seq_len(r._seq) + 1):
                 raise RuntimeError("KV page pool exhausted")  # todo: preempt
 
-        indptr, indices, last = self._batch_tables(reqs)
-        # expand compact batch -> fixed B slots (inactive: kv_len 0)
-        full_indptr = np.zeros(B + 1, np.int32)
-        full_last = np.zeros(B, np.int32)
+        full_indptr, slot_indices, full_last, kv_lens = self._slot_tables(reqs)
         tokens = np.zeros(B, np.int64)
         positions = np.zeros(B, np.int32)
         valid = np.zeros(B, bool)
-        kv_lens = np.zeros(B, np.int64)
-        for i, r in enumerate(reqs):
+        for r in reqs:
             s = r._slot
-            kv_lens[s] = self.pool.seq_len(r._seq)
-            full_last[s] = last[i]
             cur = r.output[-1] if r.output else r.prompt[-1]
             tokens[s] = cur
             positions[s] = kv_lens[s] - 1
             valid[s] = True
-        # rebuild a per-slot CSR (slot order, empty ranges for free slots)
-        counts = np.zeros(B, np.int64)
-        for i, r in enumerate(reqs):
-            counts[r._slot] = indptr[i + 1] - indptr[i]
-        full_indptr[1:] = np.cumsum(counts)
-        slot_indices = np.zeros(self._page_bucket, np.int32)
-        for i, r in enumerate(reqs):
-            s = r._slot
-            slot_indices[full_indptr[s] : full_indptr[s + 1]] = indices[
-                indptr[i] : indptr[i + 1]
-            ]
 
         self._decode_wrapper.plan(
             full_indptr, slot_indices, full_last,
@@ -349,6 +428,95 @@ class LlamaServingEngine:
         out: List[Tuple[int, int]] = []
         for r in reqs:
             self._emit(r, int(toks[r._slot]), out)
+        return out
+
+    def _spec_decode(self) -> List[Tuple[int, int]]:
+        """Speculative decode step: propose G draft tokens per sequence
+        (prompt-lookup), verify all G+1 positions in one qo>1 batch run,
+        emit the accepted prefix + one bonus token, roll the KV tail back.
+
+        Reference decomposition: fast_decode_plan (decode.py:2416, the
+        qo>1 re-plan), XQA spec-decode kernels, and
+        chain_speculative_sampling (sampling.py)."""
+        mc, B = self.cfg.model, self.cfg.max_batch
+        G = self.cfg.spec_tokens
+        reqs = [r for r in self._slots if r is not None]
+        kv0 = np.zeros(B, np.int64)
+        drafts = np.zeros((B, G), np.int64)
+        for r in reqs:
+            s = r._slot
+            kv0[s] = self.pool.seq_len(r._seq)
+            if not self.pool.extend(r._seq, int(kv0[s]) + G + 1):
+                raise RuntimeError("KV page pool exhausted")  # todo: preempt
+            ctx = r.prompt + r.output
+            drafts[s] = propose_ngram(ctx, G, self.cfg.spec_ngram)
+
+        full_indptr, slot_indices, full_last, kv_lens = self._slot_tables(reqs)
+        rows = G + 1
+        nnz = B * rows
+        bucket = next_power_of_2(max(nnz, 8))
+        tokens = np.zeros(bucket, np.int64)
+        positions = np.zeros(bucket, np.int32)
+        batch_idx = np.zeros(bucket, np.int32)
+        valid = np.zeros(bucket, bool)
+        for r in reqs:
+            s = r._slot
+            cur = r.output[-1] if r.output else r.prompt[-1]
+            o = s * rows
+            tokens[o] = cur
+            tokens[o + 1 : o + rows] = drafts[s]
+            positions[o : o + rows] = kv0[s] + np.arange(rows)
+            batch_idx[o : o + rows] = s
+            valid[o : o + rows] = True
+
+        # plan: every slot contributes G+1 query rows (empty slots have
+        # kv_len 0 and their work items drop); a trailing dummy request
+        # absorbs the pad rows
+        qo_indptr = np.concatenate(
+            [np.arange(B + 1, dtype=np.int64) * rows, [bucket]]
+        )
+        plan_indptr = np.concatenate([full_indptr, [full_indptr[-1]]])
+        plan_last = np.concatenate([full_last, [0]])
+        self._spec_wrapper.plan(
+            qo_indptr, plan_indptr, slot_indices, plan_last,
+            mc.num_qo_heads, mc.num_kv_heads, mc.head_dim, self.cfg.page_size,
+            causal=True, kv_chunk_size=self._kv_chunk(),
+            kv_len_arr=np.concatenate([kv_lens, [0]]),
+            work_capacity=self._work_capacity(),
+        )
+        blob = np.concatenate([
+            tokens.astype(np.int32), positions.astype(np.int32),
+            batch_idx.astype(np.int32), valid.astype(np.int32),
+            drafts.reshape(-1).astype(np.int32),
+            slot_indices.astype(np.int32),
+            plan_indptr.astype(np.int32), plan_last.astype(np.int32),
+        ])
+        sub = self._next_key()
+        emitted_toks, self.k_cache, self.v_cache = _spec_verify_step(
+            self.params, mc, self.cfg.page_size, self._page_bucket, bucket, B,
+            G, self.k_cache, self.v_cache, jnp.asarray(blob),
+            self._spec_wrapper.device_plan, sub, self._sample_args(),
+            interpret=self._interpret, greedy=self.cfg.greedy,
+            kv_fp8=self._kv_fp8, kv_scale=self._kv_scale,
+        )
+        emitted_toks = np.asarray(emitted_toks)  # [B, G+1], -1 after reject
+        out: List[Tuple[int, int]] = []
+        for r in reqs:
+            s = r._slot
+            row = emitted_toks[s]
+            toks: List[int] = []
+            for t in row:
+                if t < 0:
+                    break
+                toks.append(int(t))
+                if self.cfg.eos_token >= 0 and t == self.cfg.eos_token:
+                    break
+            toks = toks[: r.max_new_tokens - len(r.output)]
+            # valid KV = current token + accepted drafts; the bonus token's
+            # KV is appended by the NEXT step (decode invariant)
+            self.pool.truncate(r._seq, int(kv0[s]) + len(toks))
+            for t in toks:
+                self._emit(r, t, out)
         return out
 
     def _work_capacity(self) -> int:
@@ -387,6 +555,75 @@ class LlamaServingEngine:
             req.done = True
             self.pool.release(req._seq)
             self._slots[req._slot] = None
+
+
+def _norm_kv_scale(s) -> Tuple[float, float]:
+    """EngineConfig.kv_scale -> static (k_scale, v_scale) floats."""
+    if isinstance(s, (tuple, list)):
+        ks, vs = s
+        return float(ks), float(vs)
+    return float(s), float(s)
+
+
+def calibrate_kv_scales(
+    config: EngineConfig,
+    prompts: List[List[int]],
+    params: Optional[Dict[str, jax.Array]] = None,
+    *,
+    seed: int = 0,
+    headroom: float = 1.0,
+) -> Tuple[float, float]:
+    """Per-tensor FP8 KV scales from sample activations (amax/448).
+
+    Runs one bf16 prefill over the calibration prompts and reads the
+    roped K / V amax straight from the paged caches — exactly the values a
+    quantized cache would store. Pass the result as
+    ``EngineConfig(kv_scale=calibrate_kv_scales(...), kv_dtype="fp8_e4m3")``.
+    Reference parity: calibrated k_scale/v_scale threaded through the fp8
+    attention APIs (flashinfer/decode.py run k_scale/v_scale args); the
+    reference leaves producing them to the serving stack, which computes
+    amax over calibration batches the same way.
+    """
+    import dataclasses as _dc
+
+    cal = _dc.replace(config, kv_dtype="model", spec_tokens=0, greedy=True,
+                      max_batch=max(config.max_batch, len(prompts)))
+    eng = LlamaServingEngine(cal, params=params, seed=seed)
+    for p in prompts:
+        eng.add_request(list(p), 1)
+    while eng.has_work():
+        eng.step()
+    e4m3_max = 448.0
+    amax_k = float(jnp.max(jnp.abs(eng.k_cache.astype(jnp.float32))))
+    amax_v = float(jnp.max(jnp.abs(eng.v_cache.astype(jnp.float32))))
+    return (max(amax_k, 1e-6) * headroom / e4m3_max,
+            max(amax_v, 1e-6) * headroom / e4m3_max)
+
+
+def propose_ngram(ctx: List[int], num_spec: int, max_ngram: int) -> List[int]:
+    """Prompt-lookup draft proposer: find the most recent earlier occurrence
+    of the longest suffix n-gram (n = max_ngram..1) and propose the tokens
+    that followed it. Fallback: repeat the last token (cheap; verification
+    simply rejects). This is the draft-model-free proposer popularized as
+    prompt-lookup / n-gram speculative decoding; the reference ships the
+    verification side (chain_speculative_sampling) and leaves proposing to
+    engines."""
+    L = len(ctx)
+    arr = np.asarray(ctx)
+    for n in range(min(max_ngram, L - 1), 0, -1):
+        pat = arr[L - n :]
+        # vectorized scan for the latest match strictly before the suffix
+        windows = np.lib.stride_tricks.sliding_window_view(arr[: L - 1], n)
+        hits = np.nonzero((windows == pat).all(axis=1))[0]
+        if hits.size:
+            i = int(hits[-1])
+            cont = ctx[i + n : i + n + num_spec]
+            if cont:
+                out = list(cont)
+                while len(out) < num_spec:
+                    out.append(out[-1])
+                return out
+    return [ctx[-1]] * num_spec
 
 
 # ---------------------------------------------------------------------------
@@ -465,12 +702,13 @@ def _run_layers(params, mc, num_pages, x, positions, k_cache, v_cache,
             v = _wmm(xn, lp, "wv").reshape(rows, hkv, d)
         q, k = apply_rope_pos_ids(q, k, positions, rope_theta=mc.rope_theta)
 
+        k_scale, v_scale = kv_scale
         if kv_fp8:  # store e4m3 bits (int8 container; ops/fp8.py rationale)
             k = jax.lax.bitcast_convert_type(
-                (k.astype(jnp.float32) / kv_scale).astype(jnp.float8_e4m3fn),
+                (k.astype(jnp.float32) / k_scale).astype(jnp.float8_e4m3fn),
                 jnp.int8)
             v = jax.lax.bitcast_convert_type(
-                (v.astype(jnp.float32) / kv_scale).astype(jnp.float8_e4m3fn),
+                (v.astype(jnp.float32) / v_scale).astype(jnp.float8_e4m3fn),
                 jnp.int8)
         # in-place scatter into the global page space (drop padding rows)
         pids = jnp.where(valid, page_ids + layer * num_pages, kc.shape[0])
@@ -478,7 +716,7 @@ def _run_layers(params, mc, num_pages, x, positions, k_cache, v_cache,
         vc = vc.at[pids, entry_ids].set(v.astype(vc.dtype), mode="drop")
         attn = run_device_plan(
             dplan, q, kc, vc, kv_layout=TensorLayout.NHD,
-            k_scale=kv_scale, v_scale=kv_scale,
+            k_scale=k_scale, v_scale=v_scale,
             kv_dtype="e4m3" if kv_fp8 else None,
             kv_indices_offset=layer * num_pages, interpret=interpret,
         )
@@ -504,7 +742,7 @@ def _run_layers(params, mc, num_pages, x, positions, k_cache, v_cache,
 )
 def _decode_step(params, mc, page_size, page_bucket, k_cache, v_cache,
                  blob, dplan, key, sample_args, *, interpret, greedy,
-                 kv_fp8=False, kv_scale=1.0):
+                 kv_fp8=False, kv_scale=(1.0, 1.0)):
     B = (blob.shape[0] - page_bucket - 1) // 5
     tokens = blob[:B]
     positions = blob[B : 2 * B]
@@ -546,7 +784,7 @@ def _sample_tokens(logits, key, sample_args, greedy):
 def _prefill_step(params, mc, page_size, k_cache, v_cache, tokens, positions,
                   batch_idx, valid, kv_indices, kv_indptr, kv_last, dplan,
                   last_rows, key, sample_args, *, interpret, greedy,
-                  kv_fp8=False, kv_scale=1.0):
+                  kv_fp8=False, kv_scale=(1.0, 1.0)):
     x = params["embedding"][tokens]
     num_pages = k_cache.shape[0] // mc.num_layers
     page_slot = positions // page_size
@@ -561,3 +799,97 @@ def _prefill_step(params, mc, page_size, k_cache, v_cache, tokens, positions,
     logits = _wmm(x_last, params, "lm_head").astype(jnp.float32)
     toks = _sample_tokens(logits, key, sample_args, greedy)
     return toks, k_cache, v_cache
+
+
+@functools.partial(
+    jax.jit,
+    static_argnums=(1, 2),
+    static_argnames=("interpret", "kv_fp8", "kv_scale"),
+    donate_argnums=(3, 4),
+)
+def _score_step(params, mc, page_size, k_cache, v_cache, tokens, positions,
+                batch_idx, valid, kv_indices, kv_indptr, dplan, *,
+                interpret, kv_fp8=False, kv_scale=(1.0, 1.0)):
+    """Prefill body without sampling: logits for EVERY row (score API)."""
+    x = params["embedding"][tokens]
+    num_pages = k_cache.shape[0] // mc.num_layers
+    page_slot = positions // page_size
+    page_ids = kv_indices[kv_indptr[batch_idx] + page_slot]
+    entry_ids = positions % page_size
+    x, k_cache, v_cache = _run_layers(
+        params, mc, num_pages, x, positions, k_cache, v_cache,
+        dplan, page_ids, entry_ids, valid, interpret, kv_fp8, kv_scale,
+    )
+    x = rmsnorm(x, params["final_norm"], mc.rms_eps)
+    logits = _wmm(x, params, "lm_head").astype(jnp.float32)
+    return logits, k_cache, v_cache
+
+
+@functools.partial(
+    jax.jit,
+    static_argnums=(1, 2, 3, 4, 5, 6),
+    static_argnames=("interpret", "kv_fp8", "kv_scale", "greedy"),
+    donate_argnums=(7, 8),
+)
+def _spec_verify_step(params, mc, page_size, page_bucket, bucket, B, G,
+                      k_cache, v_cache, blob, dplan, key, sample_args, *,
+                      interpret, greedy, kv_fp8=False, kv_scale=(1.0, 1.0)):
+    """Verify G draft tokens per slot in one qo=G+1 batch run.
+
+    Returns [B, G+1] emitted tokens, -1 after the first rejection: the
+    accepted draft prefix plus one bonus token (greedy: argmax continuation;
+    sampled: chain_speculative_sampling with one-hot draft distributions —
+    the correct rejection-sampling treatment of a deterministic proposer,
+    preserving the target distribution exactly)."""
+    rows = G + 1
+    o = 0
+    tokens = blob[o : o + bucket]; o += bucket
+    positions = blob[o : o + bucket]; o += bucket
+    batch_idx = blob[o : o + bucket]; o += bucket
+    valid = blob[o : o + bucket] != 0; o += bucket
+    draft_toks = blob[o : o + B * G].reshape(B, G); o += B * G
+    kv_indices = blob[o : o + page_bucket]; o += page_bucket
+    kv_indptr = blob[o : o + B + 2]; o += B + 2
+    del blob
+
+    x = params["embedding"][tokens]
+    num_pages = k_cache.shape[0] // mc.num_layers
+    page_slot = positions // page_size
+    page_ids = kv_indices[kv_indptr[batch_idx] + page_slot]
+    entry_ids = positions % page_size
+    x, k_cache, v_cache = _run_layers(
+        params, mc, num_pages, x, positions, k_cache, v_cache,
+        dplan, page_ids, entry_ids, valid, interpret, kv_fp8, kv_scale,
+    )
+    x = rmsnorm(x, params["final_norm"], mc.rms_eps)
+    logits = _wmm(x[: B * rows], params, "lm_head").astype(jnp.float32)
+    logits = logits.reshape(B, rows, -1)
+
+    if greedy:
+        out = jnp.argmax(logits, axis=-1).astype(jnp.int32)  # [B, rows]
+        match = out[:, :G] == draft_toks
+        # row j is emitted iff every draft before it matched (j=0 always)
+        keep = jnp.concatenate(
+            [jnp.ones((B, 1), bool), jnp.cumprod(match, axis=1).astype(bool)],
+            axis=1,
+        )
+        emitted = jnp.where(keep, out, -1)
+    else:
+        from flashinfer_tpu.ops.sampling import (
+            chain_speculative_sampling,
+            top_k_renorm_probs,
+            top_p_renorm_probs,
+        )
+
+        temperature, top_k, top_p = sample_args
+        probs = softmax(logits.reshape(B * rows, -1),
+                        temperature=temperature)
+        probs = top_k_renorm_probs(probs, top_k)
+        probs = top_p_renorm_probs(probs, top_p)
+        target = probs.reshape(B, rows, -1)
+        vocab = target.shape[-1]
+        draft_probs = jax.nn.one_hot(draft_toks, vocab, dtype=jnp.float32)
+        emitted, _, _ = chain_speculative_sampling(
+            draft_probs, draft_toks, target, key
+        )
+    return emitted, k_cache, v_cache

@@ -85,3 +85,59 @@ def test_chain_speculative_sampling_accepts_good_drafts():
     # output ids are valid and -1-padded after the first rejection
     ids = np.asarray(out_ids)
     assert ((ids >= -1) & (ids < V)).all()
+
+
+def test_spec_engine_greedy_matches_nonspec():
+    """Distribution exactness: a greedy spec-decoding engine must emit
+    EXACTLY the non-spec engine's tokens (verification only reorders
+    compute, never changes results). Reference: fast_decode_plan
+    (decode.py:2416) + chain_speculative_sampling."""
+    mc = LlamaConfig.tiny()
+    kw = dict(model=mc, max_batch=2, num_pages=32, page_size=8,
+              max_seq_len=64, greedy=True, interpret=True)
+    base = LlamaServingEngine(EngineConfig(**kw), seed=0)
+    spec = LlamaServingEngine(EngineConfig(spec_tokens=3, **kw), seed=0)
+    rng = np.random.default_rng(5)
+    # a repetitive prompt gives the n-gram proposer real hits
+    core = rng.integers(0, mc.vocab_size, 4).tolist()
+    prompts = [core * 3, core * 2 + core[:2]]
+    n_new = [8, 6]
+    rb = [base.add_request(p, n) for p, n in zip(prompts, n_new)]
+    rs = [spec.add_request(p, n) for p, n in zip(prompts, n_new)]
+    base.run_to_completion(64)
+    spec.run_to_completion(64)
+    for b, s in zip(rb, rs):
+        assert b.done and s.done
+        assert s.output == b.output, (s.output, b.output)
+    # verification emits >= 1 token/seq/step, so spec never needs more steps
+    assert spec.steps <= base.steps
+
+
+def test_spec_engine_sampled_emits_valid_tokens():
+    """Stochastic spec decoding (one-hot draft dists through
+    chain_speculative_sampling) produces valid ids and exact counts."""
+    mc = LlamaConfig.tiny()
+    eng = LlamaServingEngine(
+        EngineConfig(model=mc, max_batch=2, num_pages=32, page_size=8,
+                     max_seq_len=64, spec_tokens=2, interpret=True,
+                     temperature=0.8), seed=3)
+    rng = np.random.default_rng(6)
+    prompt = rng.integers(0, mc.vocab_size, 5).tolist()
+    reqs = [eng.add_request(prompt * 2, 6), eng.add_request(prompt, 4)]
+    eng.run_to_completion(64)
+    for r, n in zip(reqs, (6, 4)):
+        assert r.done
+        assert len(r.output) == n
+        assert all(0 <= t < mc.vocab_size for t in r.output)
+
+
+def test_propose_ngram():
+    from flashinfer_tpu.serving.engine import propose_ngram
+
+    # suffix [7, 8] occurred earlier, followed by 9, 1, 2
+    assert propose_ngram([7, 8, 9, 1, 2, 7, 8], 3, 3) == [9, 1, 2]
+    # continuation shorter than requested pads with its last token
+    assert propose_ngram([5, 6, 1, 5, 6], 3, 2) == [1, 5, 6]
+    # no match falls back to repeating the last token
+    assert propose_ngram([1, 2, 3], 2, 3) == [3, 3]
+    assert propose_ngram([4], 2, 3) == [4, 4]

@@ -129,3 +129,26 @@ def test_page_pool_reuse_released_pages():
     t = pool.create()
     assert pool.extend(t, 32)
     assert set(pool.pages(t).tolist()) == first_pages
+
+
+def test_page_pool_truncate():
+    """Spec-decode rollback: truncate shrinks a sequence and returns the
+    tail pages to the free list (native + Python fallback parity)."""
+    pool = PagePool(num_pages=8, page_size=4)
+    s = pool.create()
+    assert pool.extend(s, 14)  # 4 pages
+    free0 = pool.free_pages
+    pages_before = pool.pages(s).tolist()
+    pool.truncate(s, 5)  # back to 2 pages
+    assert pool.seq_len(s) == 5
+    assert pool.pages(s).tolist() == pages_before[:2]
+    assert pool.free_pages == free0 + 2
+    # truncate to 0 keeps the sequence alive with no pages
+    pool.truncate(s, 0)
+    assert pool.seq_len(s) == 0
+    assert pool.free_pages == free0 + 4
+    # growing past the old length still works after a truncate
+    assert pool.extend(s, 9)
+    assert pool.seq_len(s) == 9
+    indptr, indices, last = pool.batch_export([s])
+    assert indptr.tolist() == [0, 3] and last.tolist() == [1]
