@@ -62,7 +62,7 @@ def _nominal_bw(kind: str) -> float:
     return 819e9
 
 
-def main() -> None:
+def main(gate_note: str = "") -> None:
     import functools
 
     import jax
@@ -161,16 +161,71 @@ def main() -> None:
                         f" {bf16_bw/1e9:.0f} GB/s @ {per_iter_bf16*1e3:.3f}"
                         f" ms/iter; b{BATCH} kv{KV_LEN}"
                         f" h{NUM_QO_HEADS}/{NUM_KV_HEADS} d{HEAD_DIM}"
-                        f" p{PAGE_SIZE}, {kind})",
+                        f" p{PAGE_SIZE}, {kind}){gate_note}",
                 "vs_baseline": round(effective / target, 4),
             }
         )
     )
 
 
+def _backend_up() -> bool:
+    """Probe backend init in a SUBPROCESS (a failed in-process init poisons
+    jax's backend cache for the whole run)."""
+    import subprocess
+
+    r = subprocess.run(
+        [sys.executable, "-c", "import jax; jax.devices()"],
+        capture_output=True, timeout=240,
+    )
+    return r.returncode == 0
+
+
 if __name__ == "__main__":
+    # The axon TPU tunnel has transient outages (observed 2026-08-17:
+    # backend init UNAVAILABLE for ~1h). Retry init for up to ~20 min
+    # before giving up so a blip doesn't zero the round's headline.
+    last_err = "backend probe failed"
+    for attempt in range(5):
+        try:
+            up = _backend_up()
+        except Exception as e:  # noqa: BLE001
+            up, last_err = False, f"{type(e).__name__}: {e}"
+        if up:
+            break
+        time.sleep(240 if attempt < 4 else 0)
+    # Mosaic legality gate (round-2 review item): compile+run every feature
+    # combination on the hardware BEFORE the headline timing, fail loudly.
+    # A gate TIMEOUT (tunnel congestion) is reported but does not zero the
+    # headline; a legality FAILURE does.
+    gate_note = ""
+    if up:
+        import os
+        import subprocess
+
+        gate = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                            "benchmarks", "tpu_compile_check.py")
+        try:
+            r = subprocess.run(
+                [sys.executable, gate], capture_output=True, text=True,
+                timeout=1500,
+            )
+            sys.stderr.write(r.stdout[-4000:] + r.stderr[-2000:])
+            if r.returncode != 0:
+                fails = [ln for ln in r.stdout.splitlines()
+                         if ln.startswith("FAIL")]
+                print(json.dumps({
+                    "metric": "fp8_paged_decode_effective_kv_bw",
+                    "value": 0.0,
+                    "unit": ("mosaic gate FAILED: "
+                             + "; ".join(fails)[:350]),
+                    "vs_baseline": 0.0,
+                }))
+                sys.exit(0)
+            gate_note = " [mosaic-gate ok]"
+        except subprocess.TimeoutExpired:
+            gate_note = " [mosaic-gate timeout]"
     try:
-        main()
+        main(gate_note)
     except Exception as e:  # keep the contract: one JSON line, always
         print(
             json.dumps(

@@ -1,7 +1,12 @@
-"""On-hardware Mosaic compile battery: every attention feature combination
-compiled+run on a real TPU (the CPU suite runs Pallas in interpret mode and
-cannot catch Mosaic layout/tiling legality errors). Run: python
-benchmarks/tpu_compile_check.py — prints OK/FAIL per feature."""
+"""On-hardware Mosaic compile battery / legality GATE: every attention
+feature combination (plus the fp8 serving shapes, MLA, grouped-GEMM MoE and
+the fused sampler) compiled+run on a real TPU — the CPU suite runs Pallas
+in interpret mode and cannot catch Mosaic layout/tiling legality errors.
+
+Run: python benchmarks/tpu_compile_check.py — prints OK/FAIL per feature,
+ends with a "MOSAIC-GATE: ..." summary line, and exits nonzero on any
+failure. bench.py runs this before the headline timing every round (the
+driver-visible gate the round-2 review asked for)."""
 import sys, os
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import jax, jax.numpy as jnp, numpy as np, time
@@ -9,6 +14,7 @@ import flashinfer_tpu as fi
 from flashinfer_tpu.ops.attention.mla import BatchMLAPagedAttentionWrapper
 
 rng = np.random.default_rng(0)
+failures = []
 def report(name, fn):
     t0 = time.perf_counter()
     try:
@@ -16,6 +22,7 @@ def report(name, fn):
         jax.block_until_ready(out)
         print(f"OK   {name} ({time.perf_counter()-t0:.1f}s)", flush=True)
     except Exception as e:
+        failures.append(name)
         print(f"FAIL {name}: {type(e).__name__}: {str(e)[:200]}", flush=True)
 
 B, HQ, HKV, D, PS = 4, 8, 2, 128, 32
@@ -111,3 +118,104 @@ def fused_sampler():
     return top_k_top_p_sampling_from_probs(
         probs, jax.random.PRNGKey(0), 40, 0.9, backend="pallas")
 report("fused top-k/top-p sampler kernel", fused_sampler)
+
+
+# --------------------------------------------------------------------------
+# round-3 additions: fp8 serving shapes (NHD engine layout, page 32, 8B head
+# counts), fp8 MLA bit decode, grouped-GEMM MoE, qo>1 spec verify
+
+def engine_fp8_decode_8b():
+    from flashinfer_tpu.ops.attention.batch import run_device_plan
+    from flashinfer_tpu.utils import TensorLayout
+    hq8, hkv8, d8, ps8 = 32, 8, 128, 32  # Llama-3-8B heads, engine page 32
+    lens = [190, 512, 64, 1024]
+    pg = [-(-l//ps8) for l in lens]
+    ip = np.concatenate([[0], np.cumsum(pg)]).astype(np.int32)
+    ix = np.arange(sum(pg), dtype=np.int32)
+    la = np.asarray([l-(p-1)*ps8 for l, p in zip(lens, pg)], np.int32)
+    k8 = jnp.asarray(rng.integers(-100, 100, (sum(pg)+1, ps8, hkv8, d8)),
+                     jnp.int8)  # NHD int8-container e4m3 (engine layout)
+    v8 = jnp.asarray(rng.integers(-100, 100, (sum(pg)+1, ps8, hkv8, d8)),
+                     jnp.int8)
+    qq = jnp.asarray(rng.standard_normal((4, hq8, d8)), jnp.bfloat16)
+    w = fi.BatchDecodeWithPagedKVCacheWrapper(kv_layout="NHD",
+                                              backend="pallas")
+    w.plan(ip, ix, la, hq8, hkv8, d8, ps8, kv_len_arr=np.asarray(lens),
+           kv_chunk_size=512)
+    return jax.jit(lambda q, k, v: run_device_plan(
+        w.device_plan, q, k, v, kv_layout=TensorLayout.NHD,
+        k_scale=0.05, v_scale=0.05, kv_dtype="e4m3"))(qq, k8, v8)
+report("engine fp8 decode (NHD p32 8B heads, int8 e4m3)", engine_fp8_decode_8b)
+
+
+def engine_prefill_8b():
+    hq8, hkv8, d8, ps8 = 32, 8, 128, 32
+    lens = [128, 128]
+    pg = [-(-l//ps8) for l in lens]
+    ip = np.concatenate([[0], np.cumsum(pg)]).astype(np.int32)
+    ix = np.arange(sum(pg), dtype=np.int32)
+    la = np.asarray([l-(p-1)*ps8 for l, p in zip(lens, pg)], np.int32)
+    kcN = jnp.asarray(rng.standard_normal((sum(pg)+1, ps8, hkv8, d8)),
+                      jnp.bfloat16)
+    vcN = jnp.asarray(rng.standard_normal((sum(pg)+1, ps8, hkv8, d8)),
+                      jnp.bfloat16)
+    qq = jnp.asarray(rng.standard_normal((256, hq8, d8)), jnp.bfloat16)
+    w = fi.BatchPrefillWithPagedKVCacheWrapper(
+        kv_layout="NHD", backend="pallas", tile_q=256)
+    w.plan(np.asarray([0, 128, 256]), ip, ix, la, hq8, hkv8, d8, ps8,
+           causal=True)
+    return jax.jit(lambda q, k, v: w.run(q, (k, v)))(qq, kcN, vcN)
+report("engine prefill (NHD tile_q 256, 8B heads)", engine_prefill_8b)
+
+
+def fp8_mla():
+    dckv, dkpe = 512, 64
+    mkv = [256, 640]
+    mpages = [-(-l//PS) for l in mkv]
+    mindptr = np.concatenate([[0], np.cumsum(mpages)]).astype(np.int32)
+    mindices = np.arange(sum(mpages), dtype=np.int32)
+    ckv8 = jnp.asarray(
+        rng.integers(-100, 100, (sum(mpages)+1, PS, dckv)), jnp.int8)
+    kpe8 = jnp.asarray(
+        rng.integers(-100, 100, (sum(mpages)+1, PS, dkpe)), jnp.int8)
+    qn = jnp.asarray(rng.standard_normal((2, 16, dckv)), jnp.bfloat16)
+    qp = jnp.asarray(rng.standard_normal((2, 16, dkpe)), jnp.bfloat16)
+    w = BatchMLAPagedAttentionWrapper(backend="pallas")
+    w.plan(np.arange(3), mindptr, mindices, np.asarray(mkv), 16, dckv, dkpe,
+           PS)
+    return jax.jit(lambda a, b, c, d: w.run(
+        a, b, c, d, ckv_scale=0.07, kpe_scale=0.07))(qn, qp, ckv8, kpe8)
+report("fp8 MLA decode (int8 e4m3 ckv/kpe bit decode)", fp8_mla)
+
+
+def moe_grouped_gemm_fp8():
+    from flashinfer_tpu.ops.fused_moe import fused_moe, route_tokens
+    m, hidden, inter, e = 256, 512, 384, 4
+    x = jnp.asarray(rng.standard_normal((m, hidden)) * 0.3, jnp.bfloat16)
+    w13 = jnp.asarray(rng.integers(-100, 100, (e, 2*inter, hidden)),
+                      jnp.int8)
+    w2m = jnp.asarray(rng.integers(-100, 100, (e, hidden, inter)), jnp.int8)
+    lg = jnp.asarray(rng.standard_normal((m, e)), jnp.float32)
+    ids, scales = route_tokens(lg, 2)
+    s = jnp.full((e,), 0.05, jnp.float32)
+    return fused_moe(x, w13, w2m, ids, scales, w13_scale=s, w2_scale=s,
+                     backend="pallas")
+report("grouped-GEMM MoE (fp8 in-kernel dequant)", moe_grouped_gemm_fp8)
+
+
+def spec_verify_qo5():
+    rows = 5  # G=4 drafts + current
+    qo_indptr = np.arange(B+1) * rows
+    qq = jnp.asarray(rng.standard_normal((B*rows, HQ, D)), jnp.bfloat16)
+    w = fi.BatchPrefillWithPagedKVCacheWrapper(kv_layout="HND",
+                                               backend="pallas")
+    w.plan(qo_indptr, indptr, indices, last, HQ, HKV, D, PS, causal=True,
+           kv_chunk_size=512)
+    return jax.jit(lambda q, k, v: w.run(q, (k, v)))(qq, kc, vc)
+report("spec-verify decode (qo=5 rows/request)", spec_verify_qo5)
+
+
+if failures:
+    print(f"MOSAIC-GATE: {len(failures)} FAILURES: {failures}", flush=True)
+    sys.exit(1)
+print("MOSAIC-GATE: all OK", flush=True)

@@ -48,9 +48,12 @@ def gemm_allreduce(
     """Row-parallel GEMM + allreduce in one fused region (reference
     cute_dsl/gemm_allreduce_two_shot.py:103 PersistentDenseGemmKernel — a
     persistent GEMM whose epilogue runs a two-shot allreduce). On TPU the
-    fusion is the jit region: XLA tiles the matmul and overlaps the psum's
-    ICI transfers with trailing MXU tiles. Call inside shard_map with x
-    [m, k_local], w [k_local, n]."""
+    fusion is the jit region: XLA tiles the matmul and can overlap the
+    psum's ICI transfers with trailing MXU tiles (latency-hiding scheduler).
+    UNMEASURED: the overlap claim is XLA-documented behavior, not something
+    this repo has profiled — no multi-chip hardware is available to this
+    build; only the numerics are tested (test_parallel). Call inside
+    shard_map with x [m, k_local], w [k_local, n]."""
     acc = jax.lax.dot_general(
         x, w, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
     )
