@@ -28,6 +28,7 @@ __all__ = [
     "LlamaConfig",
     "llama_init_weights",
     "llama_init_weights_fp8",
+    "llama_dense_layer",
     "llama_forward_dense",
     "llama_decode_step",
 ]
@@ -99,41 +100,56 @@ def _dense_attention_batch(q, k, v, pos):
     return jax.vmap(one)(q, k, v)
 
 
+def llama_dense_layer(
+    lp: Dict[str, jax.Array],  # ONE layer's weights (no leading L axis)
+    x: jax.Array,  # [batch, seq, hidden]
+    pos: jax.Array,  # [seq]
+    cfg: LlamaConfig,
+) -> jax.Array:
+    """One dense transformer layer (attn + SwiGLU MLP, causal). Shared by
+    the dense forward and the pp-pipelined forward (parallel/pipeline.py)."""
+    B, S, _ = x.shape
+    d, hq, hkv = cfg.head_dim, cfg.num_qo_heads, cfg.num_kv_heads
+    xn = rmsnorm(x, lp["attn_norm"], cfg.rms_eps)
+    if "wqkv" in lp:  # serving engines fuse the three projections
+        qkv = xn @ lp["wqkv"]
+        q = qkv[..., : hq * d].reshape(B, S, hq, d)
+        k = qkv[..., hq * d : (hq + hkv) * d].reshape(B, S, hkv, d)
+        v = qkv[..., (hq + hkv) * d :].reshape(B, S, hkv, d)
+    else:
+        q = (xn @ lp["wq"]).reshape(B, S, hq, d)
+        k = (xn @ lp["wk"]).reshape(B, S, hkv, d)
+        v = (xn @ lp["wv"]).reshape(B, S, hkv, d)
+
+    def rope_one(q1, k1):
+        return apply_rope_pos_ids(q1, k1, pos, rope_theta=cfg.rope_theta)
+
+    q, k = jax.vmap(rope_one)(q, k)
+    attn = _dense_attention_batch(q, k, v, pos)  # [B, S, hq, d]
+    x = x + (attn.reshape(B, S, hq * d) @ lp["wo"]).astype(x.dtype)
+
+    xn = rmsnorm(x, lp["mlp_norm"], cfg.rms_eps)
+    gate_up = xn @ lp["w_gate_up"]
+    x = x + (silu_and_mul(gate_up) @ lp["w_down"]).astype(x.dtype)
+    return x
+
+
+_LLAMA_PER_LAYER = ("wqkv", "wq", "wk", "wv", "wo", "w_gate_up", "w_down",
+                    "attn_norm", "mlp_norm")
+
+
 def llama_forward_dense(
     params: Dict[str, jax.Array],
     token_ids: jax.Array,  # [batch, seq]
     cfg: LlamaConfig,
 ) -> jax.Array:
     """Dense causal forward returning logits [batch, seq, vocab]."""
-    B, S = token_ids.shape
-    h, d = cfg.hidden_size, cfg.head_dim
-    hq, hkv = cfg.num_qo_heads, cfg.num_kv_heads
     x = params["embedding"][token_ids]  # [B, S, h]
+    S = token_ids.shape[1]
     pos = jnp.arange(S, dtype=jnp.int32)
-
     for layer in range(cfg.num_layers):
-        xn = rmsnorm(x, params["attn_norm"][layer], cfg.rms_eps)
-        if "wqkv" in params:  # serving engines fuse the three projections
-            qkv = xn @ params["wqkv"][layer]
-            q = qkv[..., : hq * d].reshape(B, S, hq, d)
-            k = qkv[..., hq * d : (hq + hkv) * d].reshape(B, S, hkv, d)
-            v = qkv[..., (hq + hkv) * d :].reshape(B, S, hkv, d)
-        else:
-            q = (xn @ params["wq"][layer]).reshape(B, S, hq, d)
-            k = (xn @ params["wk"][layer]).reshape(B, S, hkv, d)
-            v = (xn @ params["wv"][layer]).reshape(B, S, hkv, d)
-
-        def rope_one(q1, k1):
-            return apply_rope_pos_ids(q1, k1, pos, rope_theta=cfg.rope_theta)
-
-        q, k = jax.vmap(rope_one)(q, k)
-        attn = _dense_attention_batch(q, k, v, pos)  # [B, S, hq, d]
-        x = x + (attn.reshape(B, S, hq * d) @ params["wo"][layer]).astype(x.dtype)
-
-        xn = rmsnorm(x, params["mlp_norm"][layer], cfg.rms_eps)
-        gate_up = xn @ params["w_gate_up"][layer]
-        x = x + (silu_and_mul(gate_up) @ params["w_down"][layer]).astype(x.dtype)
-
+        lp = {k: params[k][layer] for k in _LLAMA_PER_LAYER if k in params}
+        x = llama_dense_layer(lp, x, pos, cfg)
     x = rmsnorm(x, params["final_norm"], cfg.rms_eps)
     return (x @ params["lm_head"]).astype(jnp.float32)
 

@@ -15,7 +15,10 @@ from flashinfer_tpu.parallel.moe import (
     fused_moe_tp,
     moe_ep_capacity,
 )
-from flashinfer_tpu.parallel.pipeline import pipeline_forward
+from flashinfer_tpu.parallel.pipeline import (
+    llama_forward_pipelined,
+    pipeline_forward,
+)
 from flashinfer_tpu.parallel.mesh import (
     MeshContext,
     make_mesh,
@@ -35,6 +38,7 @@ __all__ = [
     "fused_moe_ep",
     "fused_moe_tp",
     "moe_ep_capacity",
+    "llama_forward_pipelined",
     "pipeline_forward",
     "make_mesh",
     "shard_model_specs",

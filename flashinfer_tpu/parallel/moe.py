@@ -132,27 +132,50 @@ def fused_moe_ep(
     w13_scale: Optional[jax.Array] = None,
     w2_scale: Optional[jax.Array] = None,
     backend: str = "auto",  # fused_moe backend (pallas grouped GEMM | xla)
+    tp_axis_name: Optional[str] = None,  # combined moe_tp x ep factorization
 ) -> jax.Array:
     """EP-sharded MoE layer: tokens sharded over ``axis_name``, experts
     sharded over the same axis (expert e lives on device e // (E/ep)).
+
+    ``tp_axis_name`` enables the combined **moe_tp x ep** factorization the
+    reference Mapping derives (comm/mapping.py:127-148): each ep group's
+    local experts further shard their INTERMEDIATE dim over moe_tp (gate,
+    up, and down projections), with one psum over moe_tp on the
+    down-projection partials before the ep combine. Tokens/routing stay
+    ep-sharded (replicated over moe_tp).
 
     Returns [tokens, hidden] with the same sharding as ``hidden_states``.
     Tokens overflowing the per-peer ``capacity`` are dropped from the
     combine (contribute zero), matching capacity-based MoE serving.
     """
-    num_experts = w13.shape[0]
+    num_experts, two_inter, hidden = w13.shape
+    inter = two_inter // 2
     ep = mesh.shape[axis_name]
     assert num_experts % ep == 0, (num_experts, ep)
     eper = num_experts // ep
     tokens = hidden_states.shape[0]
     assert tokens % ep == 0, (tokens, ep)
+    if tp_axis_name is not None:
+        assert inter % mesh.shape[tp_axis_name] == 0
     if capacity is None:
         capacity = moe_ep_capacity(
             tokens // ep, top_k, ep, capacity_factor
         )
     a2a = MoeAlltoAll(num_experts, capacity, axis_name)
 
-    def body(x, logits, w13_l, w2_l):
+    # per-expert dequant scales shard over ep with the experts (a full [E]
+    # scale vector would misindex against the [E/ep] local weight shard)
+    def norm_scale(s):
+        if s is None:
+            return jnp.ones((num_experts,), jnp.float32)
+        return jnp.broadcast_to(
+            jnp.asarray(s, jnp.float32).reshape(-1), (num_experts,))
+
+    s13 = norm_scale(w13_scale)
+    s2 = norm_scale(w2_scale)
+    have_scales = w13_scale is not None or w2_scale is not None
+
+    def body(x, logits, w13_l, w2_l, s13_l, s2_l):
         my = jax.lax.axis_index(axis_name)
         ids, scales = route_tokens(
             logits, top_k, routing_method,
@@ -166,20 +189,30 @@ def fused_moe_ep(
         # dropped by combine's send_slot validity mask, so no masking here
         local_e = jnp.clip(recv_e - my * eper, 0, eper - 1)
         y = fused_moe(
-            recv_x, w13_l, w2_l,
+            recv_x, w13_l.reshape(eper, -1, hidden), w2_l,
             local_e[:, None],
             jnp.ones((recv_x.shape[0], 1), jnp.float32),
             gated_act=gated_act,
-            w13_scale=w13_scale, w2_scale=w2_scale,
+            w13_scale=s13_l if have_scales else None,
+            w2_scale=s2_l if have_scales else None,
             backend=backend,
+            out_dtype=jnp.float32,
         )
-        return a2a.combine(y, send_slot, ids, scales)
+        if tp_axis_name is not None:
+            # down-projection partials (contracted over inter/tp) reduce once
+            y = jax.lax.psum(y, tp_axis_name)
+        return a2a.combine(y.astype(x.dtype), send_slot, ids, scales)
 
     tok_spec = P(axis_name, None)
-    exp_spec = P(axis_name, None, None)
+    tp = tp_axis_name
+    # w13 viewed [E, 2, inter, hidden] so the tp shard takes 1/tp of the
+    # gate half AND the up half (same trick as fused_moe_tp)
+    w13_spec = P(axis_name, None, tp, None)
+    w2_spec = P(axis_name, None, tp)
     return jax.shard_map(
         body,
         mesh=mesh,
-        in_specs=(tok_spec, tok_spec, exp_spec, exp_spec),
+        in_specs=(tok_spec, tok_spec, w13_spec, w2_spec,
+                  P(axis_name), P(axis_name)),
         out_specs=tok_spec,
-    )(hidden_states, router_logits, w13, w2)
+    )(hidden_states, router_logits, _shard_w13_for_tp(w13), w2, s13, s2)

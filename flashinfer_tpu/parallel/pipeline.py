@@ -7,19 +7,28 @@ GPipe-style circular pipeline where stage s lives on mesh ring position s,
 activations hop one ICI neighbor per tick via ``ppermute``, and the scan
 over ticks lets XLA overlap the collective with the next stage's compute.
 
+Output delivery is pp-SHARDED: the local result carries a leading [1] stage
+axis mapped to ``P(axis_name)``, so only the LAST stage's shard holds real
+data and no collective broadcasts it (consumers slice ``[-1]`` — O(output)
+traffic from one device, vs the previous psum broadcast). Activation shape
+must be uniform across stages (an SPMD scan/ppermute constraint shared by
+every production pipeline); shape-changing prologue/epilogue (embedding,
+lm_head) run OUTSIDE the ring — see :func:`llama_forward_pipelined` for the
+full-model composition.
+
 Bubble fraction is (pp - 1) / (num_microbatches + pp - 1): feed at least
 ~4x pp microbatches to amortize.
 """
 
 from __future__ import annotations
 
-from typing import Callable
+from typing import Callable, Dict
 
 import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, PartitionSpec as P
 
-__all__ = ["pipeline_forward"]
+__all__ = ["pipeline_forward", "llama_forward_pipelined"]
 
 
 def pipeline_forward(
@@ -35,7 +44,8 @@ def pipeline_forward(
     stage_params: pytree whose leaves have a leading ``pp`` axis (stage s's
     parameters live on ring position s; pass sharded arrays for real
     placement). stage_fn(params_for_stage, activations) -> activations,
-    shape-preserving. Returns [num_microbatches, mb, ...] outputs.
+    shape-preserving. Returns [num_microbatches, mb, ...] outputs (the
+    data lives on the last stage; reading it moves O(output) bytes once).
     """
     pp = mesh.shape[axis_name]
     num_micro = x.shape[0]
@@ -74,15 +84,70 @@ def pipeline_forward(
         (_, out), _ = jax.lax.scan(
             tick, (state0, out0), jnp.arange(num_micro + pp - 1)
         )
-        # only the last stage holds real outputs; psum broadcasts them
-        out = jnp.where(stage == pp - 1, out, 0)
-        return jax.lax.psum(out, axis_name)
+        # leading [1] stage axis -> P(axis_name): the result stays sharded;
+        # non-last stages contribute garbage shards nobody reads
+        return out[None]
 
     spec_params = jax.tree_util.tree_map(lambda _: P(axis_name), stage_params)
-    return jax.shard_map(
+    out = jax.shard_map(
         body,
         mesh=mesh,
         in_specs=(spec_params, P()),
-        out_specs=P(),
+        out_specs=P(axis_name),
         check_vma=False,
     )(stage_params, x)
+    return out[-1]
+
+
+def llama_forward_pipelined(
+    params: Dict[str, jax.Array],
+    token_ids: jax.Array,  # [batch, seq]
+    cfg,
+    mesh: Mesh,
+    *,
+    num_microbatches: int,
+    axis_name: str = "pp",
+) -> jax.Array:
+    """Full pp-sharded Llama forward ≡ ``llama_forward_dense``.
+
+    The transformer trunk runs as a pp-deep microbatch pipeline: the
+    [L, ...] stacked weights regroup as [pp, L/pp, ...] (stage s holds
+    layers s*L/pp..(s+1)*L/pp, sharded over the pp axis), each stage applies
+    its L/pp layers per tick. The shape-changing ends — embedding gather and
+    final-norm + lm_head — run outside the ring (cheap gather / one GEMM on
+    the pipeline output). Reference scope: Mapping's pp rank math only
+    (comm/mapping.py); the schedule itself exceeds reference."""
+    from flashinfer_tpu.models.llama import (
+        _LLAMA_PER_LAYER,
+        llama_dense_layer,
+    )
+    from flashinfer_tpu.ops.norm import rmsnorm
+
+    pp = mesh.shape[axis_name]
+    L = cfg.num_layers
+    assert L % pp == 0, (L, pp)
+    per_stage = L // pp
+    B, S = token_ids.shape
+    assert B % num_microbatches == 0, (B, num_microbatches)
+    mb = B // num_microbatches
+
+    stage_params = {
+        k: params[k].reshape((pp, per_stage) + params[k].shape[1:])
+        for k in _LLAMA_PER_LAYER if k in params
+    }
+    x = params["embedding"][token_ids]  # [B, S, h]
+    x = x.reshape(num_microbatches, mb, S, -1)
+    pos = jnp.arange(S, dtype=jnp.int32)
+
+    def stage_fn(sp, h):
+        for i in range(per_stage):
+            lp = {k: v[i] for k, v in sp.items()}
+            h = llama_dense_layer(lp, h, pos, cfg)
+        return h
+
+    x = pipeline_forward(
+        stage_fn, stage_params, x, mesh, axis_name=axis_name
+    )
+    x = x.reshape(B, S, -1)
+    x = rmsnorm(x, params["final_norm"], cfg.rms_eps)
+    return (x @ params["lm_head"]).astype(jnp.float32)

@@ -327,3 +327,76 @@ def test_pipeline_forward_matches_sequential():
         ref = jnp.tanh(ref @ Ws[s] + bs[s])
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                rtol=2e-5, atol=2e-5)
+
+
+def test_llama_forward_pipelined_matches_dense():
+    """REAL pp-sharded model forward: 4-stage Llama trunk pipeline (stage s
+    holds layers s*L/pp..; embedding + lm_head outside the ring) equals the
+    dense single-device forward. The pipeline output is pp-SHARDED (no psum
+    broadcast; consumers read the last stage's shard only)."""
+    from flashinfer_tpu.models.llama import (
+        LlamaConfig,
+        llama_forward_dense,
+        llama_init_weights,
+    )
+    from flashinfer_tpu.parallel import llama_forward_pipelined
+
+    cfg = LlamaConfig(
+        vocab_size=128, hidden_size=64, intermediate_size=128, num_layers=4,
+        num_qo_heads=4, num_kv_heads=2, head_dim=16, dtype=jnp.float32,
+    )
+    params = llama_init_weights(jax.random.key(0), cfg)
+    mesh = _mesh1d("pp", 4)
+    rng = np.random.default_rng(17)
+    tokens = jnp.asarray(rng.integers(0, cfg.vocab_size, (8, 6)), jnp.int32)
+
+    want = llama_forward_dense(params, tokens, cfg)
+    got = llama_forward_pipelined(
+        params, tokens, cfg, mesh, num_microbatches=4)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-5, atol=2e-5)
+
+
+@pytest.mark.parametrize("fp8", [False, True])
+def test_fused_moe_ep_x_moe_tp(fp8):
+    """Combined moe_tp x ep factorization (reference comm/mapping.py:127-148
+    moe_tp*moe_ep == moe_cluster-free world size): experts sharded over ep,
+    their intermediate dim further sharded over moe_tp, one psum on the
+    down-proj partials before the ep combine. Per-expert fp8 dequant scales
+    shard over ep with the experts."""
+    from flashinfer_tpu.parallel import fused_moe_ep
+    from flashinfer_tpu.ops.fused_moe import fused_moe, route_tokens
+    from jax.sharding import Mesh
+
+    devs = np.array(jax.devices()[:8]).reshape(4, 2)
+    mesh = Mesh(devs, ("ep", "moe_tp"))
+    rng = np.random.default_rng(23)
+    tokens, hidden, inter, e, top_k = 16, 64, 32, 8, 2
+    x = jnp.asarray(rng.standard_normal((tokens, hidden)) * 0.3, jnp.float32)
+    logits = jnp.asarray(rng.standard_normal((tokens, e)), jnp.float32)
+    w13 = jnp.asarray(rng.standard_normal((e, 2 * inter, hidden)) * 0.1,
+                      jnp.float32)
+    w2 = jnp.asarray(rng.standard_normal((e, hidden, inter)) * 0.1,
+                     jnp.float32)
+    s13 = s2 = None
+    if fp8:
+        # per-expert scales exercise the ep scale sharding
+        s13 = jnp.asarray(rng.uniform(0.05, 0.15, e), jnp.float32)
+        s2 = jnp.asarray(rng.uniform(0.05, 0.15, e), jnp.float32)
+
+        def q(w, s):
+            return jax.lax.bitcast_convert_type(
+                (w / s[:, None, None]).astype(jnp.float8_e4m3fn), jnp.int8)
+
+        w13q, w2q = q(w13, s13), q(w2, s2)
+    else:
+        w13q, w2q = w13, w2
+
+    out = fused_moe_ep(x, logits, w13q, w2q, mesh, top_k=top_k,
+                       capacity=tokens * top_k, tp_axis_name="moe_tp",
+                       w13_scale=s13, w2_scale=s2)
+    ids, scales = route_tokens(logits, top_k)
+    ref = fused_moe(x, w13q, w2q, ids, scales, w13_scale=s13, w2_scale=s2)
+    tol = 2e-2 if fp8 else 2e-4
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=tol, atol=tol)
