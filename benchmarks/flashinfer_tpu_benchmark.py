@@ -192,6 +192,62 @@ def bench_moe(args) -> dict:
     }
 
 
+def bench_mla(args) -> dict:
+    """MLA paged decode (DeepSeek config: dckv 512 + dkpe 64, matrix-
+    absorbed; reference trtllm_batch_decode_with_kv_cache_mla role).
+    --batch-size requests, --s-kv context, --num-qo-heads heads,
+    --kv-dtype fp8_e4m3 for the int8-container e4m3 cache decode."""
+    import jax
+    import jax.numpy as jnp
+
+    from flashinfer_tpu.ops.attention.mla import BatchMLAPagedAttentionWrapper
+    from flashinfer_tpu.testing.utils import bench_tpu_time_differential
+
+    rng = np.random.default_rng(0)
+    b, skv, h, ps = args.batch_size, args.s_kv, args.num_qo_heads, args.page_size
+    dckv, dkpe = 512, 64
+    pages = -(-skv // ps)
+    indptr = np.arange(b + 1) * pages
+    indices = rng.permutation(b * pages + 8)[: b * pages].astype(np.int32)
+    kv_lens = np.full(b, skv, np.int32)
+    fp8 = args.kv_dtype == "fp8_e4m3"
+    ckv = jnp.asarray(
+        rng.standard_normal((b * pages + 8, ps, dckv)), jnp.bfloat16)
+    # kpe stored 128-padded (the wrapper's zero-copy fast path)
+    kpe = jnp.asarray(
+        np.pad(rng.standard_normal((b * pages + 8, ps, dkpe)),
+               ((0, 0), (0, 0), (0, 64))), jnp.bfloat16)
+    scale = 1.0
+    if fp8:
+        scale = 0.05
+        def q8(x):
+            return jax.lax.bitcast_convert_type(
+                (x.astype(jnp.float32) / scale).astype(jnp.float8_e4m3fn),
+                jnp.int8)
+        ckv, kpe = q8(ckv), q8(kpe)
+    qn = jnp.asarray(rng.standard_normal((b, h, dckv)), jnp.bfloat16)
+    qp = jnp.asarray(rng.standard_normal((b, h, dkpe)), jnp.bfloat16)
+
+    w = BatchMLAPagedAttentionWrapper(backend="pallas")
+    w.plan(np.arange(b + 1), indptr, indices, kv_lens, h, dckv, dkpe, ps)
+
+    def step(qn, qp, ckv, kpe):
+        o = w.run(qn, qp, ckv, kpe, ckv_scale=scale, kpe_scale=scale)
+        return qn + o.astype(qn.dtype) * jnp.bfloat16(1e-3)
+
+    dt = bench_tpu_time_differential(step, qn, qp, ckv, kpe,
+                                     n_short=2, n_long=args.iters + 2)
+    kv_bytes = b * skv * (dckv + dkpe) * (1 if fp8 else 2)
+    eff_bytes = b * skv * (dckv + dkpe) * 2  # bf16-equivalent logical bytes
+    return {
+        "routine": "mla",
+        "kv_dtype": args.kv_dtype,
+        "median_time_ms": round(dt * 1e3, 4),
+        "kv_gb_per_sec_physical": round(kv_bytes / dt / 1e9, 1),
+        "kv_gb_per_sec_effective": round(eff_bytes / dt / 1e9, 1),
+    }
+
+
 def bench_sampling(args) -> dict:
     import jax
     import jax.numpy as jnp
@@ -245,6 +301,7 @@ def bench_serving(args) -> dict:
         page_size=args.page_size, max_seq_len=args.s_kv, greedy=True,
         kv_dtype=args.kv_dtype,
         weight_dtype=args.weight_dtype,
+        kv_layout=args.kv_layout,
     )
     params = None
     if args.weight_dtype == "fp8_e4m3" and args.model == "8b":
@@ -286,6 +343,7 @@ def bench_serving(args) -> dict:
         "ttft_p50_ms": round(ttft_p50 * 1e3, 2),
         "ms_per_step": round(dt / args.iters * 1e3, 2),
         "batch": args.batch_size,
+        "kv_layout": args.kv_layout,
     }
 
 
@@ -295,7 +353,7 @@ def main(argv=None) -> int:
         "BatchDecodeWithPagedKVCacheWrapper",
         "BatchPrefillWithPagedKVCacheWrapper",
         "BatchPrefillWithRaggedKVCacheWrapper",
-        "gemm", "sampling", "serving", "moe",
+        "gemm", "sampling", "serving", "moe", "mla",
     ])
     p.add_argument("--model", default="1b", choices=["tiny", "1b", "8b"])
     p.add_argument("--kv-dtype", default="model", choices=["model", "fp8_e4m3"])
@@ -322,6 +380,7 @@ def main(argv=None) -> int:
     p.add_argument("--inter", type=int, default=14336)
     p.add_argument("--moe-backend", default="pallas",
                    choices=["pallas", "xla"])
+    p.add_argument("--kv-layout", default="NHD", choices=["NHD", "HND"])
     args = p.parse_args(argv)
 
     if args.routine == "gemm":
@@ -330,6 +389,8 @@ def main(argv=None) -> int:
         out = bench_sampling(args)
     elif args.routine == "serving":
         out = bench_serving(args)
+    elif args.routine == "mla":
+        out = bench_mla(args)
     elif args.routine == "moe":
         out = bench_moe(args)
     else:

@@ -215,6 +215,57 @@ def spec_verify_qo5():
 report("spec-verify decode (qo=5 rows/request)", spec_verify_qo5)
 
 
+def head_loop_prefill(hq, hkv):
+    # tile_q >= 256 + HND routes to the fori_loop-over-heads kernel body
+    # (dynamic head indexing of VMEM refs + raised vmem_limit_bytes) — the
+    # round-3 prefill-MFU path. Exercises the ragged-wrapper repack too.
+    sq = 512
+    b = 2
+    qo_indptr = np.arange(b+1) * sq
+    kv_indptr = np.arange(b+1) * 1024
+    qq = jnp.asarray(rng.standard_normal((b*sq, hq, D)), jnp.bfloat16)
+    kk = jnp.asarray(rng.standard_normal((b*1024, hkv, D)), jnp.bfloat16)
+    vv = jnp.asarray(rng.standard_normal((b*1024, hkv, D)), jnp.bfloat16)
+    w = fi.BatchPrefillWithRaggedKVCacheWrapper(backend="pallas")
+    w.plan(qo_indptr, kv_indptr, hq, hkv, D, causal=True)
+    return jax.jit(lambda q, k, v: w.run(q, (k, v)))(qq, kk, vv)
+report("head-loop ragged prefill (h16, tile_q 512)",
+       lambda: head_loop_prefill(16, 16))
+report("head-loop ragged prefill (8B GQA 32/8)",
+       lambda: head_loop_prefill(32, 8))
+
+
+def head_loop_fp8_prefill():
+    sq = 256
+    qo_indptr = np.arange(B+1) * sq
+    qq = jnp.asarray(rng.standard_normal((B*sq, HQ, D)), jnp.bfloat16)
+    k8 = kc.astype(jnp.float8_e4m3fn); v8 = vc.astype(jnp.float8_e4m3fn)
+    w = fi.BatchPrefillWithPagedKVCacheWrapper(kv_layout="HND",
+                                               backend="pallas")
+    w.plan(qo_indptr, indptr, indices, last, HQ, HKV, D, PS, causal=True)
+    return jax.jit(lambda q,k,v: w.run(q,(k,v),k_scale=0.1,v_scale=0.1))(
+        qq, k8, v8)
+report("head-loop fp8 paged prefill (tile_q 256)", head_loop_fp8_prefill)
+
+
+def engine_hnd_step():
+    # EngineConfig(kv_layout="HND") device step at 8B heads on real HW:
+    # strided append scatter + HND fp8 decode through _decode_step
+    from flashinfer_tpu.models.llama import LlamaConfig
+    from flashinfer_tpu.serving import EngineConfig, LlamaServingEngine
+    mc = LlamaConfig(vocab_size=512, hidden_size=256, intermediate_size=512,
+                     num_layers=2, num_qo_heads=32, num_kv_heads=8,
+                     head_dim=128, dtype=jnp.bfloat16)
+    cfg = EngineConfig(model=mc, max_batch=2, num_pages=64, page_size=32,
+                       max_seq_len=256, greedy=True, interpret=False,
+                       kv_layout="HND", kv_dtype="fp8_e4m3", kv_scale=0.3)
+    eng = LlamaServingEngine(cfg, seed=0)
+    eng.add_request(list(range(2, 40)), 3)
+    eng.run_to_completion(max_steps=10)
+    return jnp.zeros(())
+report("HND-layout fp8 engine step (8B heads)", engine_hnd_step)
+
+
 if failures:
     print(f"MOSAIC-GATE: {len(failures)} FAILURES: {failures}", flush=True)
     sys.exit(1)

@@ -119,6 +119,45 @@ def _cmd_tune(args) -> int:
                 jax.block_until_ready(out)
                 print(f"tuned decode b{b} kv{kv} h{hq}/{hkv} {kv_dtype}",
                       flush=True)
+        # prefill: profiles the fori_loop-over-heads tactics against the
+        # unrolled head-group tiles (h_blk, tile_k, head_loop)
+        prefill_shapes = [(8, 1024, 16, 16), (8, 1024, 32, 8)]
+        if args.quick:
+            prefill_shapes = prefill_shapes[:1]
+        for b, sq, hq, hkv in prefill_shapes:
+            d = 128
+            qo_indptr = np.arange(b + 1) * sq
+            kv_indptr = np.arange(b + 1) * sq
+            q = jnp.asarray(
+                rng.standard_normal((b * sq, hq, d)), jnp.bfloat16)
+            k = jnp.asarray(
+                rng.standard_normal((b * sq, hkv, d)), jnp.bfloat16)
+            v = jnp.asarray(
+                rng.standard_normal((b * sq, hkv, d)), jnp.bfloat16)
+            w = fi.BatchPrefillWithRaggedKVCacheWrapper(backend="pallas")
+            w.plan(qo_indptr, kv_indptr, hq, hkv, d, causal=True)
+            jax.block_until_ready(w.run(q, (k, v)))
+            print(f"tuned prefill b{b} s{sq} h{hq}/{hkv}", flush=True)
+        if not args.quick:
+            # MLA decode (DeepSeek dckv 512 + dkpe 64): tile_k tactics
+            from flashinfer_tpu.ops.attention.mla import (
+                BatchMLAPagedAttentionWrapper,
+            )
+            b, kv, h, ps = 32, 2048, 128, 64
+            pages = kv // ps
+            indptr = np.arange(b + 1) * pages
+            indices = np.arange(b * pages, dtype=np.int32)
+            ckv = jnp.asarray(
+                rng.standard_normal((b * pages + 4, ps, 512)), jnp.bfloat16)
+            kpe = jnp.asarray(
+                rng.standard_normal((b * pages + 4, ps, 128)), jnp.bfloat16)
+            qn = jnp.asarray(rng.standard_normal((b, h, 512)), jnp.bfloat16)
+            qp = jnp.asarray(rng.standard_normal((b, h, 64)), jnp.bfloat16)
+            wm = BatchMLAPagedAttentionWrapper(backend="pallas")
+            wm.plan(np.arange(b + 1), indptr, indices, np.full(b, kv),
+                    h, 512, 64, ps)
+            jax.block_until_ready(wm.run(qn, qp, ckv, kpe))
+            print(f"tuned mla b{b} kv{kv} h{h}", flush=True)
     t = AutoTuner.get()
     print(f"profiled {t.stats.profiled_tactics} tactics across "
           f"{t.stats.tuned_ops} ops -> {get_config_path()}")

@@ -544,7 +544,10 @@ class BatchAttention:
             # doubles split-KV partial traffic (written + merge-gathered),
             # which dominates prefill glue; the run stage may still pick a
             # smaller tile_k (nsub > 1) for its own call-count tradeoff
-            cands_c = tile_candidates(
+            sliceable = (
+                not self._ragged and self._layout == TensorLayout.HND
+            )
+            cand_kw = dict(
                 num_kv_heads=num_kv_heads,
                 tile_q=tile_q,
                 d_pad=d_pad,
@@ -553,10 +556,15 @@ class BatchAttention:
                 q_itemsize=2,
                 page_size=eff_page,
                 kv_chunk_size=want,
-                head_sliceable=(
-                    not self._ragged and self._layout == TensorLayout.HND
-                ),
+                head_sliceable=sliceable,
             )
+            cands_c = tile_candidates(**cand_kw)
+            if sliceable and tile_q >= 256 and num_kv_heads > 1:
+                # the run stage may pick the fori_loop-over-heads body,
+                # whose VMEM model admits larger resident tiles
+                cands_c = cands_c + tile_candidates(
+                    **cand_kw, head_loop=True
+                )
             chunk = max(tk for _, tk in cands_c)
         plan = plan_attention(
             padded_indptr,

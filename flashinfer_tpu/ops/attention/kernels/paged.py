@@ -139,7 +139,12 @@ def _variant_plumbing(variant_params):
         flat = leaf.reshape(1, -1) if leaf.ndim < 2 else leaf
         specs.append(
             pl.BlockSpec(
-                flat.shape, lambda w, j: (0,) * flat.ndim, memory_space=pltpu.VMEM
+                flat.shape,
+                # *s swallows the scalar-prefetch refs PrefetchScalarGridSpec
+                # hands every index map; n= binds THIS leaf's ndim (a bare
+                # closure would late-bind the loop variable)
+                lambda w, j, *s, n=flat.ndim: (0,) * n,
+                memory_space=pltpu.VMEM,
             )
         )
         metas.append(leaf.shape)
@@ -174,6 +179,7 @@ def _paged_kernel(
     num_items: int,
     ragged: bool,
     kv_major: bool,
+    head_loop: bool = False,
 ):
     # --- unpack refs ---
     idx = 0
@@ -349,7 +355,7 @@ def _paged_kernel(
         fp8 = kv_dequant == "e4m3"
         half = tile_k // 2
 
-        for h in range(num_kv_heads):  # static unroll over kv heads
+        def _one_head(h):
             q = q_ref[h]  # [tile_q, d]
             if ragged or layout == TensorLayout.NHD:
                 k = k_buf[slot, :, h, :]  # [tile_k, d]
@@ -469,6 +475,23 @@ def _paged_kernel(
                 )
             acc_ref[h] = acc_ref[h] * alpha[:, :1] + pv
 
+        if head_loop:
+            # fori_loop over kv heads: one head's [tile_q, tile_k] softmax
+            # temporaries are live at a time (the static unroll stacks ~3
+            # f32 temps PER HEAD in scoped VMEM — tile_candidates' unroll
+            # model), so prefill tiles can keep every kv head resident and
+            # the grid step carries h_blk x more MXU work per ~2 us of
+            # per-step overhead. Refs are indexed with the traced h (legal:
+            # leading untiled axes of VMEM refs).
+            def _lbody(h, carry):
+                _one_head(h)
+                return carry
+
+            jax.lax.fori_loop(0, num_kv_heads, _lbody, 0)
+        else:
+            for h in range(num_kv_heads):  # static unroll over kv heads
+                _one_head(h)
+
     # dispatch: interior tiles (fully valid, causality can't bite) skip the
     # whole mask pipeline — the TPU analogue of the reference's
     # mask-free-interior-tile specialization (prefill.cuh hot loop)
@@ -479,7 +502,12 @@ def _paged_kernel(
     # fraction of the VPU work
     can_skip_mask = (
         window_left < 0 and variant.logits_mask is None and not has_mask
-        and tile_q <= 64
+        # small decode tiles: dual-body temps are tiny and the mask passes
+        # are a large VPU fraction. head_loop prefill tiles: temps are
+        # per-head (not stacked across the unroll) so both bodies fit, and
+        # interior tiles skip ~6 full-tile mask passes — the win grows with
+        # kv chunks per qo tile (long-context prefill)
+        and (tile_q <= 64 or head_loop)
     )
     if can_skip_mask:
         interior = remaining >= tile_k
@@ -525,6 +553,11 @@ def _paged_kernel(
 
 
 _VMEM_BUDGET = 10 * 1024 * 1024
+# fori_loop-over-heads (prefill) candidates run under an explicit
+# vmem_limit_bytes raise (see _finish_run) — same mechanism the fused
+# sampler uses; v5e physical VMEM is 128M
+_VMEM_BUDGET_WIDE = 72 * 1024 * 1024
+_VMEM_LIMIT_WIDE = 100 * 1024 * 1024
 
 
 def tile_candidates(
@@ -539,6 +572,7 @@ def tile_candidates(
     kv_chunk_size: int,
     head_sliceable: bool,
     tile_k: Optional[int] = None,
+    head_loop: bool = False,
 ):
     """Enumerate VMEM-legal (h_blk, tile_k) choices, heuristic first.
 
@@ -549,7 +583,15 @@ def tile_candidates(
     sublane tiling in HBM), so all heads stay resident and tile_k shrinks
     instead. Shared with the wrapper's plan() so kv_chunk_size can be set to
     the resident tile size (nsub==1 -> kv-major DMA dedup active).
+
+    head_loop=True models the kernel's fori_loop-over-heads body (one
+    head's softmax temporaries live at a time instead of ~3 f32
+    [tile_q, tile_k] temps PER unrolled head) under the raised
+    ``vmem_limit_bytes`` cap — the prefill regime, where maximizing
+    h_blk x tile_q x tile_k per grid step is what amortizes the ~2 us
+    per-grid-step overhead.
     """
+    budget = _VMEM_BUDGET_WIDE if head_loop else _VMEM_BUDGET
     tile_k = tile_k or kv_chunk_size
     tile_k = min(tile_k, kv_chunk_size)
     tile_k = max(tile_k - tile_k % page_size, page_size)
@@ -565,7 +607,12 @@ def tile_candidates(
         # measured, e.g. fp8 h8/tq8/tk2048 with both bodies fits fine; the
         # one observed scoped-vmem blowout was the NHD strided-slice case,
         # modeled separately below.)
-        compute_tmp = 3 * h * tile_q * tk * 4
+        # fori_loop mode: ~3 per-head temps (reused) + ~3 shared
+        # position/mask tiles, x2ish for the dual interior/masked bodies
+        # (Mosaic stacks both branches' temps).
+        compute_tmp = (
+            9 * tile_q * tk * 4 if head_loop else 3 * h * tile_q * tk * 4
+        )
         # NHD/ragged buffers are sliced per head on a strided axis; Mosaic
         # materializes each [tile_k, d] head slice as a relayout copy, and
         # the unrolled copies stack (measured: 16M scoped at h=4 tk=1024
@@ -579,10 +626,10 @@ def tile_candidates(
         h = num_kv_heads
         if head_sliceable:
             while h > 1 and (
-                vmem_bytes(h, tk) > _VMEM_BUDGET or num_kv_heads % h
+                vmem_bytes(h, tk) > budget or num_kv_heads % h
             ):
                 h -= 1
-        return h if vmem_bytes(h, tk) <= _VMEM_BUDGET else 0
+        return h if vmem_bytes(h, tk) <= budget else 0
 
     # candidate tiles: halvings of tile_k that divide the chunk; prefer
     # tk >= 512 (keeps split-partial/merge traffic low and DMAs large),
@@ -610,18 +657,25 @@ def tile_candidates(
         cap = tile_k if page_size == 1 else min(tile_k, page_size * 64)
         while (
             cap > page_size
-            and vmem_bytes(num_kv_heads, cap) > _VMEM_BUDGET
+            and vmem_bytes(num_kv_heads, cap) > budget
             and cap % 2 == 0
             and (cap // 2) % page_size == 0
             and kv_chunk_size % (cap // 2) == 0
         ):
             cap //= 2
         return [(num_kv_heads, cap)]
-    preferred = [c for c in cands if c[0] >= min(512, tile_k)]
-    pool = preferred or cands
-    calls = min(num_kv_heads // h for _, h in pool)
-    pool = [c for c in pool if num_kv_heads // c[1] == calls]
-    tk, h = max(pool)
+    if head_loop and any(c[0] == tile_k for c in cands):
+        # prefill regime: prefer the FULL-chunk tile (nsub==1 -> kv-major
+        # DMA dedup keeps KV read once per request, not once per qo tile;
+        # head-group calls each read only their own head slice, so call
+        # count does not multiply KV traffic)
+        tk, h = max(c for c in cands if c[0] == tile_k)
+    else:
+        preferred = [c for c in cands if c[0] >= min(512, tile_k)]
+        pool = preferred or cands
+        calls = min(num_kv_heads // h for _, h in pool)
+        pool = [c for c in pool if num_kv_heads // c[1] == calls]
+        tk, h = max(pool)
     # heuristic winner first; remaining VMEM-legal candidates are the
     # autotuner's tactic space
     rest = sorted(
@@ -702,7 +756,7 @@ def batch_paged_attention_run(
         sm_scale = sm_scale * _E4M3_SHIFT_SCALE
         v_scale = v_scale * _E4M3_SHIFT_SCALE
 
-    cands = tile_candidates(
+    cand_kw = dict(
         num_kv_heads=num_kv_heads,
         tile_q=tile_q,
         d_pad=d_pad,
@@ -714,7 +768,35 @@ def batch_paged_attention_run(
         head_sliceable=(not ragged and kv_layout == TensorLayout.HND),
         tile_k=None,  # prefer the full chunk resident (nsub==1 -> dedup)
     )
-    h_blk, tile_k = _select_tiles(
+    cands = [(h, tk, False) for h, tk in tile_candidates(**cand_kw)]
+    # prefill tiles (tile_q >= 256): also offer the fori_loop-over-heads
+    # body, which keeps more (often all) kv heads resident per grid step —
+    # fewer pallas calls and ~h_blk x the MXU work per grid-step overhead.
+    # Decode tiles stay on the proven unrolled body.
+    if (
+        not ragged and kv_layout == TensorLayout.HND
+        and tile_q >= 256 and num_kv_heads > 1
+    ):
+        loop_cands = [
+            (h, tk, True)
+            for h, tk in tile_candidates(**cand_kw, head_loop=True)
+        ]
+
+        def calls(c):
+            return num_kv_heads // c[0]
+
+        if loop_cands and (
+            calls(loop_cands[0]) < calls(cands[0])
+            or (
+                calls(loop_cands[0]) == calls(cands[0])
+                and loop_cands[0][0] * loop_cands[0][1]
+                > cands[0][0] * cands[0][1]
+            )
+        ):
+            cands = loop_cands + cands
+        else:
+            cands = cands + loop_cands
+    h_blk, tile_k, head_loop = _select_tiles(
         cands,
         q_packed=q_packed, k_cache=k_cache, v_cache=v_cache,
         kv_indices=kv_indices, plan_arrays=plan_arrays,
@@ -726,7 +808,7 @@ def batch_paged_attention_run(
         num_kv_heads=num_kv_heads, tile_q=tile_q,
     )
     return _execute_tiles(
-        h_blk, tile_k,
+        h_blk, tile_k, head_loop,
         q_packed=q_packed, k_cache=k_cache, v_cache=v_cache,
         kv_indices=kv_indices, plan_arrays=plan_arrays,
         plan_meta=plan_meta, causal=causal, sm_scale=sm_scale,
@@ -739,7 +821,8 @@ def batch_paged_attention_run(
 
 
 def _execute_tiles(
-    h_blk, tile_k, *, q_packed, k_cache, v_cache, kv_indices, plan_arrays,
+    h_blk, tile_k, head_loop=False, *,
+    q_packed, k_cache, v_cache, kv_indices, plan_arrays,
     plan_meta, causal, sm_scale, v_scale, kv_dequant, window_left, variant,
     variant_params, kv_layout, ragged, work_mask, interpret, d_pad, dv_pad,
     num_kv_heads, tile_q,
@@ -772,7 +855,8 @@ def _execute_tiles(
                     sm_scale=sm_scale, v_scale=v_scale,
                     kv_dequant=kv_dequant, window_left=window_left,
                     tile_k=tile_k, nsub=nsub, page_size=page_size,
-                    head_offset=h0, h_blk=h_blk, variant=variant,
+                    head_offset=h0, h_blk=h_blk, head_loop=head_loop,
+                    variant=variant,
                     variant_params=variant_params, kv_layout=kv_layout,
                     ragged=ragged, interpret=interpret, d_pad=d_pad,
                     dv_pad=dv_pad, work_mask=work_mask,
@@ -787,7 +871,8 @@ def _execute_tiles(
         plan_meta=plan_meta, causal=causal, sm_scale=sm_scale,
         v_scale=v_scale, kv_dequant=kv_dequant, window_left=window_left,
         tile_k=tile_k, nsub=nsub, page_size=page_size, head_offset=0,
-        h_blk=num_kv_heads, variant=variant, variant_params=variant_params,
+        h_blk=num_kv_heads, head_loop=head_loop, variant=variant,
+        variant_params=variant_params,
         kv_layout=kv_layout, ragged=ragged, interpret=interpret,
         d_pad=d_pad, dv_pad=dv_pad, work_mask=work_mask,
     )
@@ -810,7 +895,9 @@ def _select_tiles(cands, **ctx):
         f"::T{pm.num_work_items}::kv{ctx['k_cache'].dtype.name}"
         f"::{ctx['kv_dequant']}::{'ragged' if ctx['ragged'] else ctx['kv_layout'].name}"
     )
-    tactics = [{"h_blk": h, "tile_k": tk} for h, tk in cands]
+    tactics = [
+        {"h_blk": h, "tile_k": tk, "head_loop": lp} for h, tk, lp in cands
+    ]
     tuner = AutoTuner.get()
     sel = tuner.cached(op_key, tactics)
     if sel is None and tuner.enabled and not isinstance(
@@ -823,7 +910,8 @@ def _select_tiles(cands, **ctx):
 
             def run(self, tactic, *args):
                 return _execute_tiles(
-                    tactic["h_blk"], tactic["tile_k"], **ctx
+                    tactic["h_blk"], tactic["tile_k"],
+                    tactic.get("head_loop", False), **ctx
                 )
 
         from flashinfer_tpu.testing.utils import bench_tpu_time_differential
@@ -836,6 +924,7 @@ def _select_tiles(cands, **ctx):
             def step(carry, kc, vc, ki, wm, *pa):
                 o, _ = _execute_tiles(
                     tactic["h_blk"], tactic["tile_k"],
+                    tactic.get("head_loop", False),
                     **{**ctx, "q_packed": carry, "k_cache": kc,
                        "v_cache": vc, "kv_indices": ki, "work_mask": wm,
                        "plan_arrays": tuple(pa)},
@@ -851,7 +940,7 @@ def _select_tiles(cands, **ctx):
 
         sel = tuner.choose_one(op_key, _Runner(), time_tactic=time_tactic)
     if sel is not None:
-        return sel["h_blk"], sel["tile_k"]
+        return sel["h_blk"], sel["tile_k"], sel.get("head_loop", False)
     return cands[0]
 
 
@@ -860,7 +949,7 @@ def _finish_run(
     q_packed, k_cache, v_cache, kv_indices, plan_arrays, *,
     plan_meta, causal, sm_scale, v_scale, kv_dequant, window_left, tile_k,
     nsub, page_size, head_offset, h_blk, variant, variant_params, kv_layout,
-    ragged, interpret, d_pad, dv_pad, work_mask=None,
+    ragged, interpret, d_pad, dv_pad, work_mask=None, head_loop=False,
 ):
     tile_q = plan_meta.tile_q
     group = plan_meta.gqa_group
@@ -909,6 +998,7 @@ def _finish_run(
         num_items=T,
         ragged=ragged,
         kv_major=plan_meta.kv_major,
+        head_loop=head_loop,
     )
 
     if ragged or kv_layout == TensorLayout.NHD:
@@ -956,6 +1046,11 @@ def _finish_run(
         ],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary", "arbitrary"),
+            # head_loop tiles are chosen under the wide VMEM budget; raise
+            # Mosaic's scoped-vmem cap accordingly (sampler precedent)
+            **(
+                {"vmem_limit_bytes": _VMEM_LIMIT_WIDE} if head_loop else {}
+            ),
         ),
         cost_estimate=pl.CostEstimate(
             flops=4 * T * tile_q * plan_meta.kv_chunk_size * (d_pad + dv_pad) // 2

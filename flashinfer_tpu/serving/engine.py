@@ -81,6 +81,13 @@ class EngineConfig:
     # so a step can produce up to G+1 tokens.
     spec_tokens: int = 0
     spec_ngram: int = 3  # longest suffix n-gram the proposer matches
+    # Page-cache layout. "NHD" [pages, ps, kvh, d] keeps the append scatter
+    # contiguous; "HND" [pages, kvh, ps, d] lets the attention kernel slice
+    # / fori_loop the head axis (head-group DMAs + the head-loop prefill
+    # body — the prefill-MFU path), at the cost of a strided append
+    # scatter. Token-exact either way (test_serving_engine); pick by
+    # measurement on the target hardware.
+    kv_layout: str = "NHD"
 
 
 @dataclasses.dataclass
@@ -110,6 +117,8 @@ class LlamaServingEngine:
             raise ValueError(f"unknown kv_dtype {config.kv_dtype!r}")
         if config.weight_dtype not in ("model", "fp8_e4m3"):
             raise ValueError(f"unknown weight_dtype {config.weight_dtype!r}")
+        if config.kv_layout not in ("NHD", "HND"):
+            raise ValueError(f"unknown kv_layout {config.kv_layout!r}")
         self.params = params or llama_init_weights(jax.random.key(seed), mc)
         if config.weight_dtype == "fp8_e4m3" and self.params["wo"].dtype != jnp.int8:
             from flashinfer_tpu.models.llama import quantize_llama_weights_fp8
@@ -119,16 +128,24 @@ class LlamaServingEngine:
         self.pool = PagePool(config.num_pages, config.page_size)
         self.key = jax.random.key(seed + 1)
 
-        # all layers share ONE page id space: NHD [L*pages, ps, kvh, d]
+        # all layers share ONE page id space: e.g. NHD [L*pages, ps, kvh, d]
         # with layer l's copy of page p at row l*num_pages + p. The jitted
         # step then never slices the (donated) cache per layer — slicing
         # would force XLA to materialize per-layer copies.
-        shape = (
-            mc.num_layers * config.num_pages,
-            config.page_size,
-            mc.num_kv_heads,
-            mc.head_dim,
-        )
+        if config.kv_layout == "HND":
+            shape = (
+                mc.num_layers * config.num_pages,
+                mc.num_kv_heads,
+                config.page_size,
+                mc.head_dim,
+            )
+        else:
+            shape = (
+                mc.num_layers * config.num_pages,
+                config.page_size,
+                mc.num_kv_heads,
+                mc.head_dim,
+            )
         # explicit fp8 discriminator — NEVER inferred from kv_scale's value
         # (kv_dtype="fp8_e4m3" with kv_scale=1.0 is a legal config)
         self._kv_fp8 = config.kv_dtype == "fp8_e4m3"
@@ -155,13 +172,14 @@ class LlamaServingEngine:
         self._pending: List[GenerationRequest] = []
         self._next_id = 0
         self._decode_wrapper = BatchDecodeWithPagedKVCacheWrapper(
-            kv_layout="NHD", backend="pallas"
+            kv_layout=config.kv_layout, backend="pallas"
         )
         self._prefill_wrapper = BatchPrefillWithPagedKVCacheWrapper(
-            kv_layout="NHD", backend="pallas", tile_q=256,
+            kv_layout=config.kv_layout, backend="pallas", tile_q=256,
             # NHD caches can't head-slice, so per-head VMEM state scales
             # with tile_q; 256 keeps large-model prefill inside Mosaic's
-            # scoped-vmem limit with ~the same MXU efficiency
+            # scoped-vmem limit with ~the same MXU efficiency. (HND caches
+            # route to the head-loop body, where 256 is also legal.)
         )
         self._interpret = (
             config.interpret if config.interpret is not None else not on_tpu()
@@ -171,7 +189,7 @@ class LlamaServingEngine:
             # verify wrapper: qo_len = G+1 rows per slot through the same
             # unified kernel (tile_q auto-sizes to the packed draft rows)
             self._spec_wrapper = BatchPrefillWithPagedKVCacheWrapper(
-                kv_layout="NHD", backend="pallas"
+                kv_layout=config.kv_layout, backend="pallas"
             )
         self.steps = 0
         self.generated_tokens = 0
@@ -253,6 +271,7 @@ class LlamaServingEngine:
                 self._prefill_wrapper.device_plan,
                 interpret=self._interpret,
                 kv_fp8=self._kv_fp8, kv_scale=self._kv_scale,
+                kv_layout=self.cfg.kv_layout,
             )
             return np.asarray(logits[:P])
         finally:
@@ -347,6 +366,7 @@ class LlamaServingEngine:
             sub, self._sample_args(),
             interpret=self._interpret, greedy=self.cfg.greedy,
             kv_fp8=self._kv_fp8, kv_scale=self._kv_scale,
+                kv_layout=self.cfg.kv_layout,
         )
         toks = np.asarray(toks)
         for r, t in zip(reqs, toks):
@@ -423,6 +443,7 @@ class LlamaServingEngine:
             self._decode_wrapper.device_plan, sub, self._sample_args(),
             interpret=self._interpret, greedy=self.cfg.greedy,
             kv_fp8=self._kv_fp8, kv_scale=self._kv_scale,
+                kv_layout=self.cfg.kv_layout,
         )
         toks = np.asarray(toks)
         out: List[Tuple[int, int]] = []
@@ -498,6 +519,7 @@ class LlamaServingEngine:
             self._spec_wrapper.device_plan, sub, self._sample_args(),
             interpret=self._interpret, greedy=self.cfg.greedy,
             kv_fp8=self._kv_fp8, kv_scale=self._kv_scale,
+                kv_layout=self.cfg.kv_layout,
         )
         emitted_toks = np.asarray(emitted_toks)  # [B, G+1], -1 after reject
         out: List[Tuple[int, int]] = []
@@ -672,7 +694,7 @@ def _wmm(x, params, name):
 
 def _run_layers(params, mc, num_pages, x, positions, k_cache, v_cache,
                 dplan, page_ids, entry_ids, valid, interpret, kv_fp8,
-                kv_scale):
+                kv_scale, kv_layout="NHD"):
     """All transformer layers via lax.scan over the stacked [L, ...] weight
     axis. One trace regardless of depth, and — decisive for fp8 weights —
     exactly ONE layer's dequantized bf16 temporaries are live at a time
@@ -712,10 +734,16 @@ def _run_layers(params, mc, num_pages, x, positions, k_cache, v_cache,
                 jnp.int8)
         # in-place scatter into the global page space (drop padding rows)
         pids = jnp.where(valid, page_ids + layer * num_pages, kc.shape[0])
-        kc = kc.at[pids, entry_ids].set(k.astype(kc.dtype), mode="drop")
-        vc = vc.at[pids, entry_ids].set(v.astype(vc.dtype), mode="drop")
+        if kv_layout == "HND":
+            # [pages, kvh, ps, d]: advanced (page, entry) indices around the
+            # head slice -> value [rows, kvh, d]
+            kc = kc.at[pids, :, entry_ids].set(k.astype(kc.dtype), mode="drop")
+            vc = vc.at[pids, :, entry_ids].set(v.astype(vc.dtype), mode="drop")
+        else:
+            kc = kc.at[pids, entry_ids].set(k.astype(kc.dtype), mode="drop")
+            vc = vc.at[pids, entry_ids].set(v.astype(vc.dtype), mode="drop")
         attn = run_device_plan(
-            dplan, q, kc, vc, kv_layout=TensorLayout.NHD,
+            dplan, q, kc, vc, kv_layout=TensorLayout[kv_layout],
             k_scale=k_scale, v_scale=v_scale,
             kv_dtype="e4m3" if kv_fp8 else None,
             kv_indices_offset=layer * num_pages, interpret=interpret,
@@ -737,12 +765,13 @@ def _run_layers(params, mc, num_pages, x, positions, k_cache, v_cache,
 @functools.partial(
     jax.jit,
     static_argnums=(1, 2, 3),
-    static_argnames=("interpret", "kv_fp8", "kv_scale", "greedy"),
+    static_argnames=("interpret", "kv_fp8", "kv_scale", "greedy",
+                     "kv_layout"),
     donate_argnums=(4, 5),
 )
 def _decode_step(params, mc, page_size, page_bucket, k_cache, v_cache,
                  blob, dplan, key, sample_args, *, interpret, greedy,
-                 kv_fp8=False, kv_scale=(1.0, 1.0)):
+                 kv_fp8=False, kv_scale=(1.0, 1.0), kv_layout="NHD"):
     B = (blob.shape[0] - page_bucket - 1) // 5
     tokens = blob[:B]
     positions = blob[B : 2 * B]
@@ -759,6 +788,7 @@ def _decode_step(params, mc, page_size, page_bucket, k_cache, v_cache,
     x, k_cache, v_cache = _run_layers(
         params, mc, num_pages, x, positions, k_cache, v_cache,
         dplan, page_ids, entry_ids, valid, interpret, kv_fp8, kv_scale,
+        kv_layout,
     )
     x = rmsnorm(x, params["final_norm"], mc.rms_eps)
     logits = _wmm(x, params, "lm_head").astype(jnp.float32)
@@ -778,13 +808,14 @@ def _sample_tokens(logits, key, sample_args, greedy):
 @functools.partial(
     jax.jit,
     static_argnums=(1, 2),
-    static_argnames=("interpret", "kv_fp8", "kv_scale", "greedy"),
+    static_argnames=("interpret", "kv_fp8", "kv_scale", "greedy",
+                     "kv_layout"),
     donate_argnums=(3, 4),
 )
 def _prefill_step(params, mc, page_size, k_cache, v_cache, tokens, positions,
                   batch_idx, valid, kv_indices, kv_indptr, kv_last, dplan,
                   last_rows, key, sample_args, *, interpret, greedy,
-                  kv_fp8=False, kv_scale=(1.0, 1.0)):
+                  kv_fp8=False, kv_scale=(1.0, 1.0), kv_layout="NHD"):
     x = params["embedding"][tokens]
     num_pages = k_cache.shape[0] // mc.num_layers
     page_slot = positions // page_size
@@ -793,6 +824,7 @@ def _prefill_step(params, mc, page_size, k_cache, v_cache, tokens, positions,
     x, k_cache, v_cache = _run_layers(
         params, mc, num_pages, x, positions, k_cache, v_cache,
         dplan, page_ids, entry_ids, valid, interpret, kv_fp8, kv_scale,
+        kv_layout,
     )
     x = rmsnorm(x, params["final_norm"], mc.rms_eps)
     x_last = x[last_rows]
@@ -804,12 +836,12 @@ def _prefill_step(params, mc, page_size, k_cache, v_cache, tokens, positions,
 @functools.partial(
     jax.jit,
     static_argnums=(1, 2),
-    static_argnames=("interpret", "kv_fp8", "kv_scale"),
+    static_argnames=("interpret", "kv_fp8", "kv_scale", "kv_layout"),
     donate_argnums=(3, 4),
 )
 def _score_step(params, mc, page_size, k_cache, v_cache, tokens, positions,
                 batch_idx, valid, kv_indices, kv_indptr, dplan, *,
-                interpret, kv_fp8=False, kv_scale=(1.0, 1.0)):
+                interpret, kv_fp8=False, kv_scale=(1.0, 1.0), kv_layout="NHD"):
     """Prefill body without sampling: logits for EVERY row (score API)."""
     x = params["embedding"][tokens]
     num_pages = k_cache.shape[0] // mc.num_layers
@@ -819,6 +851,7 @@ def _score_step(params, mc, page_size, k_cache, v_cache, tokens, positions,
     x, k_cache, v_cache = _run_layers(
         params, mc, num_pages, x, positions, k_cache, v_cache,
         dplan, page_ids, entry_ids, valid, interpret, kv_fp8, kv_scale,
+        kv_layout,
     )
     x = rmsnorm(x, params["final_norm"], mc.rms_eps)
     logits = _wmm(x, params, "lm_head").astype(jnp.float32)
@@ -828,12 +861,14 @@ def _score_step(params, mc, page_size, k_cache, v_cache, tokens, positions,
 @functools.partial(
     jax.jit,
     static_argnums=(1, 2, 3, 4, 5, 6),
-    static_argnames=("interpret", "kv_fp8", "kv_scale", "greedy"),
+    static_argnames=("interpret", "kv_fp8", "kv_scale", "greedy",
+                     "kv_layout"),
     donate_argnums=(7, 8),
 )
 def _spec_verify_step(params, mc, page_size, page_bucket, bucket, B, G,
                       k_cache, v_cache, blob, dplan, key, sample_args, *,
-                      interpret, greedy, kv_fp8=False, kv_scale=(1.0, 1.0)):
+                      interpret, greedy, kv_fp8=False, kv_scale=(1.0, 1.0),
+                      kv_layout="NHD"):
     """Verify G draft tokens per slot in one qo=G+1 batch run.
 
     Returns [B, G+1] emitted tokens, -1 after the first rejection: the
@@ -860,6 +895,7 @@ def _spec_verify_step(params, mc, page_size, page_bucket, bucket, B, G,
     x, k_cache, v_cache = _run_layers(
         params, mc, num_pages, x, positions, k_cache, v_cache,
         dplan, page_ids, entry_ids, valid, interpret, kv_fp8, kv_scale,
+        kv_layout,
     )
     x = rmsnorm(x, params["final_norm"], mc.rms_eps)
     logits = _wmm(x[: B * rows], params, "lm_head").astype(jnp.float32)

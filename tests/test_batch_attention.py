@@ -270,3 +270,69 @@ def test_batch_prefill_multi_item_scoring():
     p_item2 = prefix + items[0] + 1  # first real token of item 2
     assert m[p_item2, :prefix].all()          # sees prefix
     assert not m[p_item2, prefix:prefix + items[0]].any() or items[0] == 0
+
+
+@pytest.mark.parametrize("fp8", [False, True])
+def test_batch_prefill_head_loop(fp8, monkeypatch):
+    """Prefill tiles (tile_q >= 256) route to the fori_loop-over-heads
+    kernel body (one head's softmax temps live at a time -> every kv head
+    resident per grid step). Asserts the loop body actually ran and matches
+    the reference oracle, f32 and fp8-KV."""
+    from flashinfer_tpu.ops.attention.kernels import paged
+
+    seen = []
+    orig = paged._finish_run
+
+    def spy(*a, **kw):
+        seen.append(kw.get("head_loop", False))
+        return orig(*a, **kw)
+
+    monkeypatch.setattr(paged, "_finish_run", spy)
+
+    rng = np.random.default_rng(31)
+    page_size, kvh, hq, d = 16, 4, 4, 32
+    kv_lens = [300, 520]
+    qo_lens = [260, 300]
+    indptr, indices, last, total = _page_table(rng, kv_lens, page_size)
+    k, v = _fill_cache(rng, total, kvh, page_size, d)
+    cache = (k.astype(jnp.float8_e4m3fn), v.astype(jnp.float8_e4m3fn)) \
+        if fp8 else (k, v)
+    qo_indptr = np.concatenate([[0], np.cumsum(qo_lens)])
+    q = jnp.asarray(rng.standard_normal((sum(qo_lens), hq, d)),
+                    jnp.bfloat16 if fp8 else jnp.float32)
+    _compare(
+        dict(kv_layout="HND", tile_q=256),
+        (qo_indptr, indptr, indices, last, hq, kvh, d, page_size),
+        dict(causal=True, kv_chunk_size=1024),
+        q,
+        cache,
+        tol=6e-2 if fp8 else 2e-3,
+        cls=BatchPrefillWithPagedKVCacheWrapper,
+    )
+    assert any(seen), "head_loop body was not exercised"
+
+
+def test_batch_prefill_head_loop_alibi_hook():
+    """Variant hooks (ALiBi logits_transform with per-head head_idx) run
+    inside the fori_loop-over-heads body: head_idx is computed from the
+    TRACED loop index — covers the hook x head_loop interaction."""
+    from flashinfer_tpu.ops.attention.variants import make_default_variant
+
+    rng = np.random.default_rng(33)
+    page_size, kvh, hq, d = 16, 2, 4, 32  # group = 2
+    kv_lens = [290, 310]
+    qo_lens = [280, 300]
+    indptr, indices, last, total = _page_table(rng, kv_lens, page_size)
+    k, v = _fill_cache(rng, total, kvh, page_size, d)
+    qo_indptr = np.concatenate([[0], np.cumsum(qo_lens)])
+    q = jnp.asarray(rng.standard_normal((sum(qo_lens), hq, d)), jnp.float32)
+    var = make_default_variant(use_alibi=True)
+    params = {"alibi_slopes": jnp.asarray([0.1, 0.3, 0.5, 0.7], jnp.float32)}
+    _compare(
+        dict(kv_layout="HND", tile_q=256, variant=var),
+        (qo_indptr, indptr, indices, last, hq, kvh, d, page_size),
+        dict(causal=True, kv_chunk_size=1024, variant_params=params),
+        q,
+        (k, v),
+        cls=BatchPrefillWithPagedKVCacheWrapper,
+    )

@@ -128,3 +128,32 @@ def test_engine_fp8_weights():
     ) * np.asarray(e8.params["wqkv_scale"][:, :, :nq], np.float32)
     rel = np.abs(w8 - w16).max() / np.abs(w16).max()
     assert rel < 0.08, rel
+
+
+@pytest.mark.parametrize("kv_dtype", ["model", "fp8_e4m3"])
+def test_engine_hnd_layout_token_exact(kv_dtype):
+    """kv_layout="HND" (head-sliceable cache -> head-group DMAs + the
+    head-loop prefill body on hardware) produces the same tokens as the
+    default NHD engine — and, for bf16, the dense oracle."""
+    mc = LlamaConfig.tiny()
+    rng = np.random.default_rng(7)
+    prompts = [rng.integers(0, mc.vocab_size, n).tolist() for n in (6, 4)]
+    outs = {}
+    for layout in ("NHD", "HND"):
+        cfg = EngineConfig(
+            model=mc, max_batch=4, num_pages=64, page_size=8,
+            max_seq_len=128, greedy=True, interpret=True, kv_layout=layout,
+            kv_dtype=kv_dtype, kv_scale=0.3,
+        )
+        eng = LlamaServingEngine(cfg, seed=0)
+        reqs = [eng.add_request(p, 3) for p in prompts]
+        eng.run_to_completion(max_steps=50)
+        outs[layout] = [r.output for r in reqs]
+    assert outs["HND"] == outs["NHD"], outs
+    if kv_dtype == "model":
+        eng_params = LlamaServingEngine(
+            EngineConfig(model=mc, max_batch=4, num_pages=64, page_size=8,
+                         max_seq_len=128, greedy=True, interpret=True),
+            seed=0).params
+        for p, got in zip(prompts, outs["HND"]):
+            assert got == _dense_greedy(eng_params, mc, p, 3)
