@@ -171,7 +171,10 @@ def bench_moe(args) -> dict:
         s2 = jnp.full((e,), 0.05, jnp.float32)
         w13, w2 = q(w13), q(w2)
 
-    def step(x, ids, scales):
+    # weights MUST be bench args, not closure captures: closure capture
+    # embeds them as HLO constants (2.8 GB here), which the tunneled
+    # remote-compile transport cannot carry (observed 30-min compile hang)
+    def step(x, ids, scales, w13, w2):
         out = fused_moe(
             x, w13, w2, ids, scales, w13_scale=s13, w2_scale=s2,
             backend=args.moe_backend, out_dtype=jnp.bfloat16,
@@ -179,7 +182,7 @@ def bench_moe(args) -> dict:
         return x + out * jnp.bfloat16(1e-3)
 
     dt = bench_tpu_time_differential(
-        step, x0, ids, scales, n_short=2, n_long=args.iters + 2)
+        step, x0, ids, scales, w13, w2, n_short=2, n_long=args.iters + 2)
     flops = 2 * m * top_k * 3 * inter * hidden  # gate+up+down mats
     wbytes = e * 3 * inter * hidden * (1 if s13 is not None else 2)
     return {
@@ -296,9 +299,14 @@ def bench_serving(args) -> dict:
         "8b": LlamaConfig.llama3_8b(),
     }
     mc = presets[args.model]
+    # int8 e4m3 KV containers need page_size >= the 32-row int8 VMEM
+    # sublane tile on real TPUs; the engine refuses smaller pages
+    ps = args.page_size
+    if args.kv_dtype == "fp8_e4m3" and ps < 32:
+        ps = 32
     cfg = EngineConfig(
         model=mc, max_batch=args.batch_size, num_pages=args.num_pages,
-        page_size=args.page_size, max_seq_len=args.s_kv, greedy=True,
+        page_size=ps, max_seq_len=args.s_kv, greedy=True,
         kv_dtype=args.kv_dtype,
         weight_dtype=args.weight_dtype,
         kv_layout=args.kv_layout,

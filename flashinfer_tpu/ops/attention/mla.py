@@ -654,14 +654,20 @@ class BatchMLAPagedAttentionWrapper:
         # Mosaic can only DMA full 128-lane tiles: pad the rope part (64
         # lanes) to 128. Zero pad lanes contribute 0 to the dot (int8 zero
         # bytes decode to e4m3 zero). Callers can avoid the per-run pad copy
-        # by storing kpe 128-padded.
-        d_kpe_pad = -(-d_kpe // _LANES) * _LANES
-        if d_kpe_pad != d_kpe:
-            q_pe = jnp.pad(q_pe, ((0, 0), (0, 0), (0, d_kpe_pad - d_kpe)))
-            kpe_cache = jnp.pad(
-                kpe_cache, ((0, 0), (0, 0), (0, d_kpe_pad - d_kpe))
+        # by storing kpe 128-padded — q_pe and the cache pad independently
+        # to the shared lane-aligned width, so a pre-padded cache is used
+        # as-is rather than re-padded.
+        d_kpe_pad = max(-(-d_kpe // _LANES) * _LANES, kpe_cache.shape[-1])
+        if q_pe.shape[-1] != d_kpe_pad:
+            q_pe = jnp.pad(
+                q_pe, ((0, 0), (0, 0), (0, d_kpe_pad - q_pe.shape[-1]))
             )
-            d_kpe = d_kpe_pad
+        if kpe_cache.shape[-1] != d_kpe_pad:
+            kpe_cache = jnp.pad(
+                kpe_cache,
+                ((0, 0), (0, 0), (0, d_kpe_pad - kpe_cache.shape[-1])),
+            )
+        d_kpe = d_kpe_pad
 
         # scale folding: s = sm_scale*(q_ckv.ckv*ckv_scale + q_pe.kpe*
         # kpe_scale). Pre-scaling q_pe by kpe_scale/ckv_scale makes both

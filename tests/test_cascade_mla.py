@@ -138,6 +138,48 @@ def test_mla_decode_matches_oracle(backend):
         )
 
 
+def test_mla_prepadded_kpe_cache_zero_copy_path():
+    """kpe stored already 128-lane padded (the documented zero-copy fast
+    path, used by the MLA bench routine): run() must use the cache as-is
+    and pad q_pe to the cache's width — regression for the double-pad bug
+    that produced a 192-lane cache vs a 128-lane packed q_pe."""
+    rng = np.random.default_rng(3)
+    page_size, heads, d_ckv, d_kpe = 4, 4, 64, 32
+    kv_lens = [9, 22]
+    batch = 2
+    indptr, indices, last = _page_table(rng, kv_lens, page_size, 12)
+    ckv_cache = jnp.asarray(
+        rng.standard_normal((12, page_size, d_ckv)), jnp.float32
+    )
+    kpe_raw = rng.standard_normal((12, page_size, d_kpe))
+    kpe_padded = jnp.asarray(
+        np.pad(kpe_raw, ((0, 0), (0, 0), (0, 128 - d_kpe))), jnp.float32
+    )
+    q_nope = jnp.asarray(rng.standard_normal((batch, heads, d_ckv)), jnp.float32)
+    q_pe = jnp.asarray(rng.standard_normal((batch, heads, d_kpe)), jnp.float32)
+
+    sm = 1.0 / np.sqrt(d_ckv + d_kpe)
+    qo_indptr = np.arange(batch + 1)
+    w = BatchMLAPagedAttentionWrapper(backend="pallas", tile_k=8)
+    w.plan(qo_indptr, indptr, indices, np.asarray(kv_lens), heads, d_ckv,
+           d_kpe, page_size, sm_scale=sm, kv_chunk_size=16)
+    out = w.run(q_nope, q_pe, ckv_cache, kpe_padded, interpret=True)
+
+    # oracle from the unpadded kpe
+    q = jnp.concatenate([q_nope, q_pe], -1)
+    for r in range(batch):
+        pages = indices[indptr[r] : indptr[r + 1]]
+        ckv = ckv_cache[pages].reshape(-1, d_ckv)[: kv_lens[r]]
+        kpe = jnp.asarray(kpe_raw, jnp.float32)[pages].reshape(-1, d_kpe)[
+            : kv_lens[r]]
+        k = jnp.concatenate([ckv, kpe], -1)[:, None, :]
+        ref, _ = attention_reference(q[r : r + 1], k, ckv[:, None, :],
+                                     sm_scale=sm)
+        np.testing.assert_allclose(
+            np.asarray(out[r]), np.asarray(ref[0]), rtol=2e-3, atol=2e-3
+        )
+
+
 def test_mla_fp8_decode_matches_dequant_oracle():
     """FP8 (e4m3) MLA: int8-container ckv/kpe caches, in-kernel packed bit
     decode with 2^±60 scale folds (reference fp8 MLA:
