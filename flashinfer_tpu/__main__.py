@@ -90,12 +90,19 @@ def _cmd_tune(args) -> int:
     from flashinfer_tpu.autotuner import AutoTuner, autotune, get_config_path
 
     rng = np.random.default_rng(0)
+    only = getattr(args, "only", None)
+
+    def want(section):
+        return only is None or only == section
+
     shapes = []
     for b, kv in ((16, 1024), (64, 2048)):
         for hq, hkv in ((32, 8), (16, 4)):
             shapes.append((b, kv, hq, hkv))
     if args.quick:
         shapes = shapes[:1]
+    if not want("decode"):
+        shapes = []
     with autotune():
         for b, kv, hq, hkv in shapes:
             for kv_dtype in ("bf16", "fp8"):
@@ -124,6 +131,8 @@ def _cmd_tune(args) -> int:
         prefill_shapes = [(8, 1024, 16, 16), (8, 1024, 32, 8)]
         if args.quick:
             prefill_shapes = prefill_shapes[:1]
+        if not want("prefill"):
+            prefill_shapes = []
         for b, sq, hq, hkv in prefill_shapes:
             d = 128
             qo_indptr = np.arange(b + 1) * sq
@@ -138,7 +147,7 @@ def _cmd_tune(args) -> int:
             w.plan(qo_indptr, kv_indptr, hq, hkv, d, causal=True)
             jax.block_until_ready(w.run(q, (k, v)))
             print(f"tuned prefill b{b} s{sq} h{hq}/{hkv}", flush=True)
-        if not args.quick:
+        if not args.quick and want("mla"):
             # MLA decode (DeepSeek dckv 512 + dkpe 64): tile_k tactics
             from flashinfer_tpu.ops.attention.mla import (
                 BatchMLAPagedAttentionWrapper,
@@ -184,6 +193,8 @@ def main(argv=None) -> int:
     )
     p_tune.add_argument("--quick", action="store_true",
                         help="one shape only (smoke)")
+    p_tune.add_argument("--only", choices=("decode", "prefill", "mla"),
+                        help="tune a single section (resumable campaigns)")
 
     args = parser.parse_args(argv)
     return {

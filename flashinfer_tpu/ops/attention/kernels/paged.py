@@ -664,12 +664,19 @@ def tile_candidates(
         ):
             cap //= 2
         return [(num_kv_heads, cap)]
-    if head_loop and any(c[0] == tile_k for c in cands):
-        # prefill regime: prefer the FULL-chunk tile (nsub==1 -> kv-major
-        # DMA dedup keeps KV read once per request, not once per qo tile;
-        # head-group calls each read only their own head slice, so call
-        # count does not multiply KV traffic)
-        tk, h = max(c for c in cands if c[0] == tile_k)
+    if head_loop:
+        # prefill regime, measured on v5e (benchmarks/prefill_ab.py).
+        # b8 s1024 h16 d128: all-heads (h16,tk1024) 41.2 TFLOPs beats the
+        # full-chunk (h8,tk2048) 19.9 despite the latter's nsub==1 DMA
+        # dedup; monotone 41.2/27.5/17.4/11.3 for tk 1024/512/256/128.
+        # b8 s1024 GQA 32/8: (8,1024) 22.4 beats (8,2048) 17.1 at the SAME
+        # call count — a single full-chunk DMA per grid step leaves the
+        # pipeline nothing to overlap. Order: fewest head-group calls,
+        # then largest tile_k CAPPED AT 1024.
+        calls = min(num_kv_heads // hh for _, hh in cands)
+        pool = [c for c in cands if num_kv_heads // c[1] == calls]
+        capped = [c for c in pool if c[0] <= 1024]
+        tk, h = max(capped) if capped else min(pool)
     else:
         preferred = [c for c in cands if c[0] >= min(512, tile_k)]
         pool = preferred or cands
