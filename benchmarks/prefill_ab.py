@@ -73,29 +73,31 @@ def main():
     print(f"# candidates: {cands}", flush=True)
 
     results = []
-    for cand in cands[: args.max_tactics]:
-        paged_mod._select_tiles = lambda c, _cand=cand, **ctx: _cand
+    try:
+        for cand in cands[: args.max_tactics]:
+            paged_mod._select_tiles = lambda c, _cand=cand, **ctx: _cand
 
-        def step(q, k, v):
-            o = w.run(q, (k, v))
-            return q + o[..., :d].astype(q.dtype) * 0.001
+            def step(q, k, v):
+                o = w.run(q, (k, v))
+                return q + o[..., :d].astype(q.dtype) * 0.001
 
-        try:
-            dt = bench_tpu_time_differential(
-                step, q0, k, v, n_short=2, n_long=args.iters + 2)
-        except Exception as e:  # Mosaic rejection etc.
-            print(json.dumps({"tactic": list(cand),
-                              "error": str(e)[:160]}), flush=True)
-            continue
-        row = {
-            "tactic": list(cand),
-            "median_time_ms": round(dt * 1e3, 4),
-            "tflops": round(flops / dt / 1e12, 3),
-            "tb_per_sec": round(byts / dt / 1e12, 4),
-        }
-        results.append(row)
-        print(json.dumps(row), flush=True)
-    paged_mod._select_tiles = orig_select
+            try:
+                dt = bench_tpu_time_differential(
+                    step, q0, k, v, n_short=2, n_long=args.iters + 2)
+            except Exception as e:  # Mosaic rejection etc.
+                print(json.dumps({"tactic": list(cand),
+                                  "error": str(e)[:160]}), flush=True)
+                continue
+            row = {
+                "tactic": list(cand),
+                "median_time_ms": round(dt * 1e3, 4),
+                "tflops": round(flops / dt / 1e12, 3),
+                "tb_per_sec": round(byts / dt / 1e12, 4),
+            }
+            results.append(row)
+            print(json.dumps(row), flush=True)
+    finally:
+        paged_mod._select_tiles = orig_select
     if results:
         best = min(results, key=lambda r: r["median_time_ms"])
         print("# BEST:", json.dumps(best), flush=True)

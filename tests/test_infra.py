@@ -156,9 +156,9 @@ def test_autotuner_drives_attention_tiles(tmp_path, monkeypatch):
     seen = []
     real = paged_mod._execute_tiles
 
-    def spy(h_blk, tile_k, **ctx):
+    def spy(h_blk, tile_k, head_loop=False, **ctx):
         seen.append((h_blk, tile_k))
-        return real(h_blk, tile_k, **ctx)
+        return real(h_blk, tile_k, head_loop, **ctx)
 
     monkeypatch.setattr(paged_mod, "_execute_tiles", spy)
     monkeypatch.setattr(at, "get_config_path",
@@ -201,7 +201,7 @@ def test_autotuner_drives_attention_tiles(tmp_path, monkeypatch):
     if alt is None:
         pytest.skip("only one legal tile for this shape")
     # op_key must match the kernel's: reproduce by monkeypatching cached()
-    forced = {"h_blk": alt[0], "tile_k": alt[1]}
+    forced = {"h_blk": alt[0], "tile_k": alt[1], "head_loop": False}
     monkeypatch.setattr(
         at.AutoTuner, "cached",
         lambda self, op_key, tactics: (
