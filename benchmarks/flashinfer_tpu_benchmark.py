@@ -310,6 +310,7 @@ def bench_serving(args) -> dict:
         kv_dtype=args.kv_dtype,
         weight_dtype=args.weight_dtype,
         kv_layout=args.kv_layout,
+        decode_window=args.decode_window,
     )
     params = None
     if args.weight_dtype == "fp8_e4m3" and args.model == "8b":
@@ -323,7 +324,7 @@ def bench_serving(args) -> dict:
     for _ in range(args.batch_size):
         eng.add_request(
             rng.integers(0, mc.vocab_size, args.s_qo).tolist(),
-            args.iters + 8)
+            (args.iters + 8) * max(1, args.decode_window))
     eng.step()  # prefill + compiles
     for _ in range(2):
         eng.step()  # decode warm (compile)
@@ -333,6 +334,24 @@ def bench_serving(args) -> dict:
         eng.step()
     dt = time.perf_counter() - t0
     toks = eng.generated_tokens - n0
+
+    device_step_ms = None
+    if args.device_step:
+        # pure DEVICE time per decode step (differential scan) — strips the
+        # tunnel dispatch + host planning that dominate ms_per_step here.
+        # Reuses the warm engine's plan/blob: same shapes the loop runs.
+        device_step_ms = round(_time_device_decode_step(eng) * 1e3, 3)
+    if args.trace_dir:
+        from flashinfer_tpu.profiler import profile_trace, summarize_trace
+
+        with profile_trace(args.trace_dir):
+            for _ in range(4):
+                eng.step()
+            import jax as _jax
+
+            _jax.block_until_ready(eng.k_cache)
+        for row in summarize_trace(args.trace_dir, top=24):
+            print("TRACE", row, flush=True)
     # p50 TTFT (warm): run fresh prompts through the warmed engine and time
     # enqueue -> first emitted token (BASELINE.md p50 TTFT row)
     ttfts = []
@@ -344,7 +363,7 @@ def bench_serving(args) -> dict:
             eng.step()
         ttfts.append(time.perf_counter() - t1)
     ttft_p50 = float(np.median(ttfts))
-    return {
+    out = {
         "routine": "serving",
         "model": args.model,
         "tokens_per_sec": round(toks / dt, 1),
@@ -353,6 +372,69 @@ def bench_serving(args) -> dict:
         "batch": args.batch_size,
         "kv_layout": args.kv_layout,
     }
+    if device_step_ms is not None:
+        out["device_step_ms"] = device_step_ms
+        out["device_tokens_per_sec"] = round(
+            args.batch_size / (device_step_ms / 1e3), 1)
+    return out
+
+
+def _time_device_decode_step(eng) -> float:
+    """Differential-scan time of ONE jitted decode step (seconds), using
+    the warm engine's live plan + per-step blob — the number to compare
+    against the weight-read roofline (docs/PERF.md device-step rows)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from flashinfer_tpu.serving.engine import _decode_step
+    from flashinfer_tpu.testing.utils import bench_tpu_time_differential
+
+    mc, cfg = eng.cfg.model, eng.cfg
+    reqs = [r for r in eng._slots if r is not None]
+    assert reqs, "engine must have running sequences"
+    full_indptr, slot_indices, full_last, kv_lens = eng._slot_tables(reqs)
+    B = cfg.max_batch
+    tokens = np.zeros(B, np.int64)
+    positions = np.zeros(B, np.int32)
+    valid = np.zeros(B, bool)
+    for r in reqs:
+        s = r._slot
+        tokens[s] = r.output[-1] if r.output else r.prompt[-1]
+        positions[s] = kv_lens[s] - 1
+        valid[s] = True
+    eng._decode_wrapper.plan(
+        full_indptr, slot_indices, full_last,
+        mc.num_qo_heads, mc.num_kv_heads, mc.head_dim, cfg.page_size,
+        kv_len_arr=kv_lens, kv_chunk_size=eng._kv_chunk(),
+        work_capacity=eng._decode_capacity(kv_lens),
+    )
+    blob = jnp.asarray(np.concatenate([
+        tokens.astype(np.int32), positions.astype(np.int32),
+        valid.astype(np.int32), slot_indices.astype(np.int32),
+        full_indptr.astype(np.int32), full_last.astype(np.int32),
+    ]))
+    dplan = eng._decode_wrapper.device_plan
+    key = eng._next_key()
+    sargs = eng._sample_args()
+
+    def step(carry, params, blob, dplan, key, sargs):
+        kc, vc, dep = carry
+        toks, kc, vc = _decode_step(
+            params, mc, cfg.page_size, eng._page_bucket, kc, vc, blob,
+            dplan, key, sargs, interpret=eng._interpret, greedy=cfg.greedy,
+            kv_fp8=eng._kv_fp8, kv_scale=eng._kv_scale,
+            kv_layout=cfg.kv_layout,
+        )
+        # chain the sampled tokens so the lm_head/sampler aren't DCE'd
+        return kc, vc, dep + jnp.sum(toks).astype(jnp.float32) * 1e-30
+
+    dt = bench_tpu_time_differential(
+        step, (eng.k_cache, eng.v_cache, jnp.float32(0.0)),
+        eng.params, blob, dplan, key, sargs,
+        n_short=2, n_long=10, repeats=3,
+    )
+    return dt
 
 
 def main(argv=None) -> int:
@@ -389,6 +471,15 @@ def main(argv=None) -> int:
     p.add_argument("--moe-backend", default="pallas",
                    choices=["pallas", "xla"])
     p.add_argument("--kv-layout", default="NHD", choices=["NHD", "HND"])
+    p.add_argument("--decode-window", type=int, default=1,
+                   help="serving: N decode steps per jitted launch "
+                        "(multi-step scheduling; amortizes host planning)")
+    p.add_argument("--device-step", action="store_true",
+                   help="serving: also time the pure jitted decode step "
+                        "(differential scan, strips tunnel dispatch)")
+    p.add_argument("--trace-dir", default=None,
+                   help="serving: capture a 4-step trace and print the "
+                        "summarize_trace per-op decomposition")
     args = p.parse_args(argv)
 
     if args.routine == "gemm":

@@ -266,6 +266,39 @@ def engine_hnd_step():
 report("HND-layout fp8 engine step (8B heads)", engine_hnd_step)
 
 
+def vector_sparse_ps1():
+    # page_size=1 vector-sparse decode: ppst must respect the DMA-semaphore
+    # cap (tile_k <= 64 pages; an uncapped 256-page unroll exhausts sflag
+    # space — r4 tile_candidates fix)
+    vlens = [300, 77, 513, 40]
+    vindptr = np.concatenate([[0], np.cumsum(vlens)]).astype(np.int32)
+    vindices = rng.permutation(sum(vlens)).astype(np.int32)
+    vlast = np.ones(4, np.int32)
+    kc1 = jnp.asarray(rng.standard_normal((sum(vlens)+1, HKV, 1, D)), jnp.bfloat16)
+    vc1 = jnp.asarray(rng.standard_normal((sum(vlens)+1, HKV, 1, D)), jnp.bfloat16)
+    w = fi.BatchDecodeWithPagedKVCacheWrapper(kv_layout="HND", backend="pallas")
+    w.plan(vindptr, vindices, vlast, HQ, HKV, D, 1)
+    return jax.jit(lambda q, kc, vc: w.run(q, (kc, vc)))(q, kc1, vc1)
+report("vector-sparse page_size=1 decode", vector_sparse_ps1)
+
+
+def decode_window_engine():
+    # multi-step decode window: N pre-planned steps in one jitted scan
+    from flashinfer_tpu.serving import EngineConfig, LlamaServingEngine
+    from flashinfer_tpu.models.llama import LlamaConfig
+    mc = LlamaConfig(vocab_size=512, hidden_size=256, intermediate_size=512,
+                     num_layers=2, num_qo_heads=8, num_kv_heads=2,
+                     head_dim=128)
+    cfg = EngineConfig(model=mc, max_batch=2, num_pages=64, page_size=32,
+                       max_seq_len=256, greedy=True, interpret=False,
+                       decode_window=4)
+    eng = LlamaServingEngine(cfg, seed=0)
+    eng.add_request(list(range(2, 40)), 9)
+    eng.run_to_completion(max_steps=10)
+    return jnp.zeros(())
+report("decode-window engine (4-step jitted scan)", decode_window_engine)
+
+
 if failures:
     print(f"MOSAIC-GATE: {len(failures)} FAILURES: {failures}", flush=True)
     sys.exit(1)

@@ -147,7 +147,9 @@ def _cmd_tune(args) -> int:
             w.plan(qo_indptr, kv_indptr, hq, hkv, d, causal=True)
             jax.block_until_ready(w.run(q, (k, v)))
             print(f"tuned prefill b{b} s{sq} h{hq}/{hkv}", flush=True)
-        if not args.quick and want("mla"):
+        # an explicit --only mla overrides --quick (otherwise the
+        # combination would silently tune nothing)
+        if want("mla") and (not args.quick or args.only == "mla"):
             # MLA decode (DeepSeek dckv 512 + dkpe 64): tile_k tactics
             from flashinfer_tpu.ops.attention.mla import (
                 BatchMLAPagedAttentionWrapper,
@@ -156,17 +158,26 @@ def _cmd_tune(args) -> int:
             pages = kv // ps
             indptr = np.arange(b + 1) * pages
             indices = np.arange(b * pages, dtype=np.int32)
-            ckv = jnp.asarray(
-                rng.standard_normal((b * pages + 4, ps, 512)), jnp.bfloat16)
-            kpe = jnp.asarray(
-                rng.standard_normal((b * pages + 4, ps, 128)), jnp.bfloat16)
             qn = jnp.asarray(rng.standard_normal((b, h, 512)), jnp.bfloat16)
             qp = jnp.asarray(rng.standard_normal((b, h, 64)), jnp.bfloat16)
-            wm = BatchMLAPagedAttentionWrapper(backend="pallas")
-            wm.plan(np.arange(b + 1), indptr, indices, np.full(b, kv),
-                    h, 512, 64, ps)
-            jax.block_until_ready(wm.run(qn, qp, ckv, kpe))
-            print(f"tuned mla b{b} kv{kv} h{h}", flush=True)
+            for kv_dtype in ("bf16", "fp8"):
+                if kv_dtype == "bf16":
+                    ckv = jnp.asarray(
+                        rng.standard_normal((b * pages + 4, ps, 512)),
+                        jnp.bfloat16)
+                    kpe = jnp.asarray(
+                        rng.standard_normal((b * pages + 4, ps, 128)),
+                        jnp.bfloat16)
+                else:  # int8 e4m3 bit containers (the engine's cache form)
+                    ckv = jnp.asarray(rng.integers(
+                        0, 127, (b * pages + 4, ps, 512)), jnp.int8)
+                    kpe = jnp.asarray(rng.integers(
+                        0, 127, (b * pages + 4, ps, 128)), jnp.int8)
+                wm = BatchMLAPagedAttentionWrapper(backend="pallas")
+                wm.plan(np.arange(b + 1), indptr, indices, np.full(b, kv),
+                        h, 512, 64, ps)
+                jax.block_until_ready(wm.run(qn, qp, ckv, kpe))
+                print(f"tuned mla b{b} kv{kv} h{h} {kv_dtype}", flush=True)
     t = AutoTuner.get()
     print(f"profiled {t.stats.profiled_tactics} tactics across "
           f"{t.stats.tuned_ops} ops -> {get_config_path()}")

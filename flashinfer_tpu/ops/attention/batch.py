@@ -205,17 +205,27 @@ class DevicePlan:
         return cls(children[0], meta=meta, work_mask=children[1])
 
     @classmethod
-    def build(cls, meta: PlanMeta, arrays: dict) -> "DevicePlan":
+    def build(cls, meta: PlanMeta, arrays: dict,
+              upload: bool = True) -> "DevicePlan":
         """Assemble from host NumPy arrays (single H2D upload).
 
         arrays keys: plan (tuple of 12 [T]), kv_indices, row_src,
         row_valid (bool), merge_out_row, out_map, merge_src,
-        optionally work_mask (uint8 [T, tile_q, kv_chunk_size])."""
+        optionally work_mask (uint8 [T, tile_q, kv_chunk_size]).
+
+        upload=False keeps the blob a host NumPy array — for callers that
+        stack several same-meta plans into one [N, total] upload (the
+        engine's multi-step decode window)."""
         parts = [np.asarray(a, np.int32).ravel() for a in arrays["plan"]]
         for name, _, _ in meta.blob_layout()[1:]:
             parts.append(np.asarray(arrays[name], np.int32).ravel())
         blob = np.concatenate(parts) if parts else np.zeros(0, np.int32)
         wm = arrays.get("work_mask")
+        if not upload:
+            return cls(
+                blob, meta=meta,
+                work_mask=None if wm is None else np.asarray(wm, np.int8),
+            )
         return cls(
             jnp.asarray(blob), meta=meta,
             work_mask=None if wm is None else jnp.asarray(wm, jnp.int8),
@@ -479,6 +489,8 @@ class BatchAttention:
         token_pos_in_items_ptr=None,
         token_pos_in_items_len: int = 0,
         max_item_len_ptr=None,  # accepted for parity; perf hint only
+        defer_upload: bool = False,  # keep the plan blob on host (callers
+        # that stack several same-meta plans into one upload)
         **_ignored,  # workspace buffers etc. accepted for API familiarity
     ):
         """Host-side plan; see module docstring. All indptr/indices args are
@@ -502,6 +514,41 @@ class BatchAttention:
             last = np.asarray(kv_last_page_len, np.int64)
             npages = kv_indptr[1:] - kv_indptr[:-1]
             kv_lens = np.where(npages > 0, (npages - 1) * page_size + last, 0)
+
+        # Tiny pages (page_size < 8, the vector-sparse regime): sub-sublane
+        # page DMAs land at unaligned VMEM offsets and Mosaic rejects them
+        # on hardware (and 1-token DMAs could never reach bandwidth anyway).
+        # TPU-right treatment: ONE XLA gather repacks the scattered tokens
+        # into a synthetic HND page_size=128 cache at run() time (the
+        # ragged wrapper's strategy — batch.py _RAGGED_PAGE), and the plan
+        # below is built directly on the synthetic page table. One extra KV
+        # read+write; the reference's vector-sparse headline (~90% of dense
+        # bandwidth, README.md:24) is matched by riding the dense kernel.
+        self._tiny_repack = (not self._ragged) and page_size < 8
+        if self._tiny_repack:
+            orig_host = dict(kv_indptr=kv_indptr, kv_indices=kv_indices_np)
+            SP = 128
+            toks = kv_lens
+            syn_pages = -(-np.maximum(toks, 0) // SP)
+            syn_indptr = np.concatenate([[0], np.cumsum(syn_pages)])
+            n_syn = int(syn_indptr[-1])
+            r_of_page = np.repeat(np.arange(batch), syn_pages)
+            page_in_req = np.arange(n_syn) - syn_indptr[r_of_page]
+            t = page_in_req[:, None] * SP + np.arange(SP)[None, :]  # in-req
+            valid = t < toks[r_of_page][:, None]
+            t_c = np.minimum(t, np.maximum(toks[r_of_page][:, None] - 1, 0))
+            flat = kv_indptr[r_of_page][:, None] + t_c // page_size
+            self._tiny_tok_page = jnp.asarray(
+                kv_indices_np[np.minimum(flat, len(kv_indices_np) - 1)]
+                .astype(np.int32))
+            self._tiny_tok_slot = jnp.asarray((t_c % page_size).astype(
+                np.int32))
+            self._tiny_valid = jnp.asarray(valid)
+            # the plan below sees only the synthetic table
+            kv_indptr = syn_indptr.astype(np.int64)
+            kv_indices_np = np.arange(max(n_syn, 1), dtype=np.int64)
+            kv_last_page_len = np.where(toks > 0, ((toks - 1) % SP) + 1, 0)
+            page_size = SP
 
         qo_lens = qo_indptr[1:] - qo_indptr[:-1]
         qo_token_total = int(qo_indptr[-1])
@@ -557,6 +604,7 @@ class BatchAttention:
                 page_size=eff_page,
                 kv_chunk_size=want,
                 head_sliceable=sliceable,
+                ragged=self._ragged,
             )
             cands_c = tile_candidates(**cand_kw)
             if sliceable and tile_q >= 256 and num_kv_heads > 1:
@@ -697,14 +745,19 @@ class BatchAttention:
                 merge_src=merge_src,
                 work_mask=work_mask,
             ),
+            upload=not defer_upload,
         )
         self._state = PlanState(
             plan=plan,
             device_plan=device_plan,
             host=dict(
                 qo_indptr=qo_indptr,
-                kv_indptr=kv_indptr,
-                kv_indices=kv_indices_np,
+                # reference path gathers from the ORIGINAL page table (the
+                # tiny-page repack is a pallas-path concern)
+                kv_indptr=(orig_host["kv_indptr"] if self._tiny_repack
+                           else kv_indptr),
+                kv_indices=(orig_host["kv_indices"] if self._tiny_repack
+                            else kv_indices_np),
                 kv_lens=kv_lens,
                 req_masks=req_masks,
             ),
@@ -771,12 +824,26 @@ class BatchAttention:
                 k, v = kv_cache[:, 0], kv_cache[:, 1]
             return k, v  # [pages, page_size, kvh, d] (NHD path in kernel)
 
+    def _tiny_page_repack(self, kv):
+        """Gather a tiny-page (page_size < 8) cache into the synthetic HND
+        page_size=128 cache the plan was built on (see plan())."""
+        if self._layout == TensorLayout.HND:  # [P, kvh, ps, d]
+            g = kv[self._tiny_tok_page, :, self._tiny_tok_slot]
+        else:  # NHD [P, ps, kvh, d]
+            g = kv[self._tiny_tok_page, self._tiny_tok_slot]
+        g = jnp.where(self._tiny_valid[:, :, None, None], g, 0)
+        return jnp.swapaxes(g, 1, 2)  # [n_syn, kvh, 128, d]
+
     def _run_pallas(self, q, kv_cache, return_lse, interpret,
                     k_scale=1.0, v_scale=1.0):
         st = self._state
         nnz = q.shape[0]
         assert nnz == st.nnz, f"q rows {nnz} != planned {st.nnz}"
         k, v = self._split_cache(kv_cache)
+        layout = self._layout
+        if getattr(self, "_tiny_repack", False):
+            k, v = self._tiny_page_repack(k), self._tiny_page_repack(v)
+            layout = TensorLayout.HND
         return run_device_plan(
             st.device_plan,
             q,
@@ -785,7 +852,7 @@ class BatchAttention:
             tile_k=self._tile_k,
             variant=self._variant_resolved,
             variant_params=self._variant_params,
-            kv_layout=self._layout,
+            kv_layout=layout,
             k_scale=k_scale,
             v_scale=v_scale,
             return_lse=return_lse,

@@ -558,6 +558,14 @@ _VMEM_BUDGET = 10 * 1024 * 1024
 # sampler uses; v5e physical VMEM is 128M
 _VMEM_BUDGET_WIDE = 72 * 1024 * 1024
 _VMEM_LIMIT_WIDE = 100 * 1024 * 1024
+# Per-head K+V tile byte cap for the head-loop prefill heuristic, anchored
+# at the v5e A/B winner (tile_k=1024 at d=dv=128 bf16 -> 512 KiB/head):
+# one full-chunk DMA per grid step leaves the Mosaic pipeline nothing to
+# overlap (benchmarks/prefill_ab.py, docs/PERF.md round 3). Expressed in
+# bytes so other dtypes/head dims inherit the measured DMA-granularity
+# sweet spot rather than the raw element count; the autotuner still offers
+# the uncapped candidates as tactics.
+_HEAD_LOOP_TILE_K_BYTES_V5E = 1024 * (128 + 128) * 2
 
 
 def tile_candidates(
@@ -573,6 +581,7 @@ def tile_candidates(
     head_sliceable: bool,
     tile_k: Optional[int] = None,
     head_loop: bool = False,
+    ragged: bool = False,
 ):
     """Enumerate VMEM-legal (h_blk, tile_k) choices, heuristic first.
 
@@ -613,12 +622,12 @@ def tile_candidates(
         compute_tmp = (
             9 * tile_q * tk * 4 if head_loop else 3 * h * tile_q * tk * 4
         )
-        # NHD/ragged buffers are sliced per head on a strided axis; Mosaic
+        # NHD buffers are sliced per head on a strided axis; Mosaic
         # materializes each [tile_k, d] head slice as a relayout copy, and
         # the unrolled copies stack (measured: 16M scoped at h=4 tk=1024
         # d=128 bf16 where the naive model said ~5M)
         nhd_tmp = 0
-        if not head_sliceable and page_size > 1:
+        if not head_sliceable and not ragged:
             nhd_tmp = 4 * h * tk * (d_pad + dv_pad) * kv_itemsize
         return kv_scr + state + q_blk + out_blk + compute_tmp + nhd_tmp
 
@@ -639,10 +648,12 @@ def tile_candidates(
     while True:
         h = best_h(tk)
         # cap pages-per-subtile at 64: each page uses a DMA semaphore pair
-        # and the sflag memory space holds ~2KB of semaphores total.
-        # page_size == 1 marks the ragged path (one DMA per subtile) — the
-        # cap does not apply there.
-        if h and (page_size == 1 or tk // page_size <= 64):
+        # and the sflag memory space holds ~2KB of semaphores total; the
+        # kernel also Python-unrolls the per-page DMA start/wait whens, so
+        # an uncapped ppst (e.g. page_size=1 vector-sparse under a 256
+        # chunk) explodes the program. The ragged path issues ONE DMA per
+        # subtile — the cap does not apply there.
+        if h and (ragged or tk // page_size <= 64):
             cands.append((tk, h))
         if (tk <= page_size or tk % 2
                 or kv_chunk_size % (tk // 2)
@@ -654,7 +665,7 @@ def tile_candidates(
         # axis cannot be sliced): keep halving tile_k toward page_size so
         # the per-step footprint shrinks as far as the layout allows,
         # rather than handing Mosaic a guaranteed scoped-vmem OOM
-        cap = tile_k if page_size == 1 else min(tile_k, page_size * 64)
+        cap = tile_k if ragged else min(tile_k, page_size * 64)
         while (
             cap > page_size
             and vmem_bytes(num_kv_heads, cap) > budget
@@ -672,10 +683,15 @@ def tile_candidates(
         # b8 s1024 GQA 32/8: (8,1024) 22.4 beats (8,2048) 17.1 at the SAME
         # call count — a single full-chunk DMA per grid step leaves the
         # pipeline nothing to overlap. Order: fewest head-group calls,
-        # then largest tile_k CAPPED AT 1024.
+        # then largest tile_k under the byte cap (1024 elems at the
+        # measured d128 bf16 anchor).
+        tk_cap = max(
+            page_size,
+            _HEAD_LOOP_TILE_K_BYTES_V5E // ((d_pad + dv_pad) * kv_itemsize),
+        )
         calls = min(num_kv_heads // hh for _, hh in cands)
         pool = [c for c in cands if num_kv_heads // c[1] == calls]
-        capped = [c for c in pool if c[0] <= 1024]
+        capped = [c for c in pool if c[0] <= tk_cap]
         tk, h = max(capped) if capped else min(pool)
     else:
         preferred = [c for c in cands if c[0] >= min(512, tile_k)]
@@ -774,6 +790,7 @@ def batch_paged_attention_run(
         kv_chunk_size=plan_meta.kv_chunk_size,
         head_sliceable=(not ragged and kv_layout == TensorLayout.HND),
         tile_k=None,  # prefer the full chunk resident (nsub==1 -> dedup)
+        ragged=ragged,
     )
     cands = [(h, tk, False) for h, tk in tile_candidates(**cand_kw)]
     # prefill tiles (tile_q >= 256): also offer the fori_loop-over-heads

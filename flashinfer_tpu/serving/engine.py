@@ -88,6 +88,17 @@ class EngineConfig:
     # scatter. Token-exact either way (test_serving_engine); pick by
     # measurement on the target hardware.
     kv_layout: str = "NHD"
+    # Multi-step decode window (the TPU analogue of multi-step scheduling /
+    # CUDA-graph decode-loop replay): plan N consecutive decode steps on
+    # the host up-front (decode lengths are deterministic — +1 token per
+    # active sequence per step), stack the N plan blobs, and run ONE jitted
+    # lax.scan over the steps with on-device token feedback. Host planning
+    # + dispatch (multi-ms through a tunneled chip; ~1 ms attached) is paid
+    # once per window instead of once per token. Tokens past a request's
+    # eos are computed then discarded on the host (KV rolled back via the
+    # native truncate — the spec-decode rollback path), exactly the
+    # overrun-and-discard contract of multi-step schedulers. 1 = off.
+    decode_window: int = 1
 
 
 @dataclasses.dataclass
@@ -287,6 +298,8 @@ class LlamaServingEngine:
         if self.num_running:
             if self.cfg.spec_tokens > 0:
                 emitted.extend(self._spec_decode())
+            elif self.cfg.decode_window > 1:
+                emitted.extend(self._decode_window())
             else:
                 emitted.extend(self._decode())
         self.steps += 1
@@ -427,7 +440,7 @@ class LlamaServingEngine:
             full_indptr, slot_indices, full_last,
             mc.num_qo_heads, mc.num_kv_heads, mc.head_dim, self.cfg.page_size,
             kv_len_arr=kv_lens, kv_chunk_size=self._kv_chunk(),
-            work_capacity=self._work_capacity(),
+            work_capacity=self._decode_capacity(kv_lens),
         )
         # one consolidated H2D upload for all per-step host arrays
         # (per-array device_put latency dominates on tunneled devices)
@@ -449,6 +462,98 @@ class LlamaServingEngine:
         out: List[Tuple[int, int]] = []
         for r in reqs:
             self._emit(r, int(toks[r._slot]), out)
+        return out
+
+    def _decode_window(self) -> List[Tuple[int, int]]:
+        """N decode steps in ONE jitted lax.scan (EngineConfig.decode_window).
+
+        Decode lengths are deterministic (+1 token per active sequence per
+        step), so all N plans are computed here up-front, their blobs stacked
+        into a single upload, and the device feeds each step's sampled tokens
+        into the next (token feedback stays on device). The N plans share one
+        PlanMeta — work capacity and the split bucket are pinned to the
+        window-END lengths — so the jit compiles once. Post-eos overrun
+        tokens are discarded and their KV rolled back (pool.truncate, the
+        spec-decode rollback path)."""
+        mc, B = self.cfg.model, self.cfg.max_batch
+        reqs = [r for r in self._slots if r is not None]
+        window = min(
+            self.cfg.decode_window,
+            min(r.max_new_tokens - len(r.output) for r in reqs),
+        )
+        if window <= 1:
+            return self._decode()
+        for r in reqs:
+            if not self.pool.extend(r._seq, self.pool.seq_len(r._seq) + window):
+                raise RuntimeError("KV page pool exhausted")  # todo: preempt
+
+        full_indptr, slot_indices, full_last, kv_end = self._slot_tables(reqs)
+        active = kv_end > 0
+        base = np.where(active, kv_end - window, 0)
+        chunk = self._kv_chunk()
+        cap = self._decode_capacity(kv_end)
+        min_splits = int(next_power_of_2(
+            max(1, int(np.max(-(-kv_end // chunk), initial=1)))))
+
+        tokens = np.zeros(B, np.int64)
+        valid = np.zeros(B, bool)
+        for r in reqs:
+            s = r._slot
+            tokens[s] = r.output[-1] if r.output else r.prompt[-1]
+            valid[s] = True
+
+        plan_blobs, metas, step_blobs = [], [], []
+        for i in range(window):
+            kv_i = np.where(active, base + i + 1, 0)
+            self._decode_wrapper.plan(
+                full_indptr, slot_indices, full_last,
+                mc.num_qo_heads, mc.num_kv_heads, mc.head_dim,
+                self.cfg.page_size,
+                kv_len_arr=kv_i, kv_chunk_size=chunk,
+                work_capacity=cap, min_max_splits=min_splits,
+                defer_upload=True,
+            )
+            dp = self._decode_wrapper.device_plan
+            metas.append(dp.meta)
+            plan_blobs.append(dp.blob)
+            positions = np.where(active, base + i, 0).astype(np.int32)
+            step_blobs.append(np.concatenate([
+                tokens.astype(np.int32), positions,
+                valid.astype(np.int32), slot_indices.astype(np.int32),
+                full_indptr.astype(np.int32), full_last.astype(np.int32),
+            ]))
+        assert all(m == metas[0] for m in metas[1:]), (
+            "window plans must share one PlanMeta (jit key)"
+        )
+        sub = self._next_key()
+        keys = jax.random.split(sub, window)
+        toks, self.k_cache, self.v_cache = _decode_window_step(
+            self.params, mc, self.cfg.page_size, self._page_bucket,
+            self.k_cache, self.v_cache,
+            jnp.asarray(np.stack(step_blobs)),
+            jnp.asarray(np.stack(plan_blobs)),
+            keys, self._sample_args(), plan_meta=metas[0],
+            interpret=self._interpret, greedy=self.cfg.greedy,
+            kv_fp8=self._kv_fp8, kv_scale=self._kv_scale,
+            kv_layout=self.cfg.kv_layout,
+        )
+        toks = np.asarray(toks)  # [window, B]
+        out: List[Tuple[int, int]] = []
+        for r in reqs:
+            s, seq, b = r._slot, r._seq, int(base[r._slot])
+            accepted: List[int] = []
+            for i in range(window):
+                t = int(toks[i, s])
+                accepted.append(t)
+                if self.cfg.eos_token >= 0 and t == self.cfg.eos_token:
+                    break
+            if len(accepted) < window:
+                # roll back the overrun feed tokens' KV: valid state = base
+                # + accepted count (the last accepted token's KV lands on
+                # the NEXT step — the decode invariant)
+                self.pool.truncate(seq, b + len(accepted))
+            for t in accepted:
+                self._emit(r, t, out)
         return out
 
     def _spec_decode(self) -> List[Tuple[int, int]]:
@@ -542,10 +647,26 @@ class LlamaServingEngine:
         return out
 
     def _work_capacity(self) -> int:
-        """Fixed work-item capacity so the decode jit never re-traces as
-        sequences grow: B qo-tiles × max kv chunks per seq."""
+        """Worst-case work-item capacity: B qo-tiles × max kv chunks per
+        seq. Used by the spec-verify step (whose causal qo>1 item count is
+        plan-dependent) and as the ceiling for _decode_capacity."""
         chunks = -(-self.cfg.max_seq_len // self._kv_chunk())
         return next_power_of_2(max(8, self.cfg.max_batch * chunks))
+
+    def _decode_capacity(self, kv_lens) -> int:
+        """Power-of-2 work-item bucket sized to THIS step's real work.
+
+        Decode plans have exactly ceil(kv_len / kv_chunk) items per active
+        sequence (one qo tile, no causal pruning), so the needed count is
+        exact. Every padded item still costs a kernel grid step PER LAYER
+        (~1-2 us of Mosaic step overhead each): at short contexts a
+        max-capacity plan (e.g. 64 items when 16 are real) wastes
+        ~48 steps x num_layers per decode step. Buckets are powers of two,
+        so the jit compiles once per bucket (<= log2 of the span; the same
+        cadence at which PlanMeta.max_splits already changes as kv grows)."""
+        chunk = self._kv_chunk()
+        needed = int(sum(-(-int(l) // chunk) for l in kv_lens if l > 0))
+        return min(self._work_capacity(), next_power_of_2(max(8, needed)))
 
     # -------------------------------------------------------------- helpers
 
@@ -793,6 +914,55 @@ def _decode_step(params, mc, page_size, page_bucket, k_cache, v_cache,
     x = rmsnorm(x, params["final_norm"], mc.rms_eps)
     logits = _wmm(x, params, "lm_head").astype(jnp.float32)
     toks = _sample_tokens(logits, key, sample_args, greedy)
+    return toks, k_cache, v_cache
+
+
+@functools.partial(
+    jax.jit,
+    static_argnums=(1, 2, 3),
+    static_argnames=("plan_meta", "interpret", "kv_fp8", "kv_scale",
+                     "greedy", "kv_layout"),
+    donate_argnums=(4, 5),
+)
+def _decode_window_step(params, mc, page_size, page_bucket, k_cache, v_cache,
+                        step_blobs, plan_blobs, keys, sample_args, *,
+                        plan_meta, interpret, greedy, kv_fp8=False,
+                        kv_scale=(1.0, 1.0), kv_layout="NHD"):
+    """lax.scan over N pre-planned decode steps (EngineConfig.decode_window):
+    each step appends KV, runs the paged kernel, samples, and feeds its
+    sampled tokens to the next step — no host round trip between tokens.
+    step_blobs [N, 5B + page_bucket + 1] int32; plan_blobs [N, plan_total]
+    (all N share plan_meta). Returns tokens [N, B]."""
+    from flashinfer_tpu.ops.attention.batch import DevicePlan
+
+    B = (step_blobs.shape[1] - page_bucket - 1) // 5
+    num_pages = k_cache.shape[0] // mc.num_layers
+
+    def body(carry, xs):
+        kc, vc, toks = carry
+        blob, pblob, key = xs
+        dplan = DevicePlan(pblob, meta=plan_meta)
+        positions = blob[B : 2 * B]
+        valid = blob[2 * B : 3 * B] != 0
+        kv_indices = blob[3 * B : 3 * B + page_bucket]
+        kv_indptr = blob[3 * B + page_bucket : 4 * B + page_bucket + 1]
+        x = params["embedding"][toks]
+        page_slot = positions // page_size
+        page_ids = kv_indices[
+            kv_indptr[jnp.arange(B, dtype=jnp.int32)] + page_slot]
+        entry_ids = positions % page_size
+        x, kc, vc = _run_layers(
+            params, mc, num_pages, x, positions, kc, vc, dplan,
+            page_ids, entry_ids, valid, interpret, kv_fp8, kv_scale,
+            kv_layout)
+        x = rmsnorm(x, params["final_norm"], mc.rms_eps)
+        logits = _wmm(x, params, "lm_head").astype(jnp.float32)
+        nt = _sample_tokens(logits, key, sample_args, greedy)
+        return (kc, vc, nt), nt
+
+    tokens0 = step_blobs[0, :B]
+    (k_cache, v_cache, _), toks = jax.lax.scan(
+        body, (k_cache, v_cache, tokens0), (step_blobs, plan_blobs, keys))
     return toks, k_cache, v_cache
 
 

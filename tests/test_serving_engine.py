@@ -157,3 +157,54 @@ def test_engine_hnd_layout_token_exact(kv_dtype):
             seed=0).params
         for p, got in zip(prompts, outs["HND"]):
             assert got == _dense_greedy(eng_params, mc, p, 3)
+
+
+def test_engine_decode_window_token_exact():
+    """EngineConfig.decode_window (N pre-planned decode steps in one jitted
+    lax.scan with on-device token feedback) emits exactly the step-by-step
+    engine's greedy tokens — including across the capacity/split bucket
+    growth as kv crosses chunk boundaries."""
+    mc = LlamaConfig.tiny()
+    rng = np.random.default_rng(11)
+    prompts = [rng.integers(0, mc.vocab_size, n).tolist() for n in (9, 5, 2)]
+    n_new = 7  # not a multiple of the window: exercises the budget cap
+    outs = {}
+    for window in (1, 3):
+        cfg = EngineConfig(
+            model=mc, max_batch=4, num_pages=64, page_size=8,
+            max_seq_len=128, greedy=True, interpret=True,
+            decode_window=window,
+        )
+        eng = LlamaServingEngine(cfg, seed=0)
+        reqs = [eng.add_request(p, n_new) for p in prompts]
+        eng.run_to_completion(max_steps=50)
+        assert all(r.done for r in reqs)
+        assert eng.pool.free_pages == cfg.num_pages  # no leaked pages
+        outs[window] = [r.output for r in reqs]
+    assert outs[3] == outs[1], outs
+    # windowed steps emit up to window tokens per request per step
+    assert all(len(o) == n_new for o in outs[3])
+
+
+def test_engine_decode_window_eos_rollback():
+    """A mid-window eos discards the overrun tokens and rolls the KV tail
+    back, leaving the pool clean and the output eos-terminated."""
+    mc = LlamaConfig.tiny()
+    rng = np.random.default_rng(12)
+    prompt = rng.integers(0, mc.vocab_size, 4).tolist()
+    outs = {}
+    for window in (1, 4):
+        cfg = EngineConfig(
+            model=mc, max_batch=2, num_pages=32, page_size=8,
+            max_seq_len=64, greedy=True, interpret=True, eos_token=0,
+            decode_window=window,
+        )
+        eng = LlamaServingEngine(cfg, seed=0)
+        r = eng.add_request(prompt, 12)
+        eng.run_to_completion(max_steps=30)
+        assert r.done
+        if 0 in r.output:
+            assert r.output.index(0) == len(r.output) - 1
+        assert eng.pool.free_pages == cfg.num_pages
+        outs[window] = r.output
+    assert outs[4] == outs[1], outs
