@@ -313,11 +313,15 @@ def bench_serving(args) -> dict:
         decode_window=args.decode_window,
     )
     params = None
-    if args.weight_dtype == "fp8_e4m3" and args.model == "8b":
+    if args.model == "8b" and args.weight_dtype in ("fp8_e4m3", "int8"):
         # 16 GB of bf16 weights would neither fit the chip nor survive the
         # tunnel upload: generate + quantize per layer ON DEVICE
-        from flashinfer_tpu.models.llama import llama_init_weights_fp8
-        params = llama_init_weights_fp8(jax.random.key(0), mc)
+        if args.weight_dtype == "int8":
+            from flashinfer_tpu.models.llama import llama_init_weights_int8
+            params = llama_init_weights_int8(jax.random.key(0), mc)
+        else:
+            from flashinfer_tpu.models.llama import llama_init_weights_fp8
+            params = llama_init_weights_fp8(jax.random.key(0), mc)
         cfg.weight_dtype = "model"  # already quantized
     eng = LlamaServingEngine(cfg, params=params, seed=0)
     rng = np.random.default_rng(0)
@@ -448,7 +452,7 @@ def main(argv=None) -> int:
     p.add_argument("--model", default="1b", choices=["tiny", "1b", "8b"])
     p.add_argument("--kv-dtype", default="model", choices=["model", "fp8_e4m3"])
     p.add_argument("--weight-dtype", default="model",
-                   choices=["model", "fp8_e4m3"])
+                   choices=["model", "fp8_e4m3", "int8"])
     p.add_argument("--num-pages", type=int, default=4096)
     p.add_argument("--batch-size", type=int, default=16)
     p.add_argument("--s-qo", type=int, default=128)

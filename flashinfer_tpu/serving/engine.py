@@ -72,6 +72,10 @@ class EngineConfig:
     # "fp8_e4m3" stores matmul weights as e4m3 bits + per-output-channel
     # scales (halves weight HBM; 8B fits one 16 GB chip). Dequant fuses
     # into the MXU operand reads at serving batch sizes (docs/PERF.md).
+    # "int8" is the TPU-native 8-bit container (same footprint, LINEAR
+    # per-channel quant): int8 -> bf16 is one hardware convert vs the
+    # e4m3 bit decode's 9 int ops / 4 elems on the VPU, so the weight-
+    # read-bound decode step runs at the bf16 byte rate.
     weight_dtype: str = "model"
     # Speculative decoding (reference: fast_decode_plan decode.py:2416 +
     # XQA qo>1 verification + chain_speculative_sampling). spec_tokens=G>0
@@ -126,7 +130,7 @@ class LlamaServingEngine:
         mc = config.model
         if config.kv_dtype not in ("model", "bf16", "fp8_e4m3"):
             raise ValueError(f"unknown kv_dtype {config.kv_dtype!r}")
-        if config.weight_dtype not in ("model", "fp8_e4m3"):
+        if config.weight_dtype not in ("model", "fp8_e4m3", "int8"):
             raise ValueError(f"unknown weight_dtype {config.weight_dtype!r}")
         if config.kv_layout not in ("NHD", "HND"):
             raise ValueError(f"unknown kv_layout {config.kv_layout!r}")
@@ -135,6 +139,14 @@ class LlamaServingEngine:
             from flashinfer_tpu.models.llama import quantize_llama_weights_fp8
 
             self.params = quantize_llama_weights_fp8(self.params)
+        elif config.weight_dtype == "int8" and "wo_iscale" not in self.params:
+            if self.params["wo"].dtype == jnp.int8:
+                raise ValueError(
+                    "weight_dtype='int8' but params hold e4m3 bits "
+                    "(int8 dtype without _iscale keys)")
+            from flashinfer_tpu.models.llama import quantize_llama_weights_int8
+
+            self.params = quantize_llama_weights_int8(self.params)
         self.params = fuse_qkv_weights(self.params)
         self.pool = PagePool(config.num_pages, config.page_size)
         self.key = jax.random.key(seed + 1)
@@ -778,7 +790,11 @@ _PER_LAYER = ("wqkv", "wq", "wk", "wv", "wo", "w_gate_up", "w_down",
 
 
 def _is_per_layer(name: str) -> bool:
-    base = name[: -len("_scale")] if name.endswith("_scale") else name
+    base = name
+    for suf in ("_iscale", "_scale"):
+        if base.endswith(suf):
+            base = base[: -len(suf)]
+            break
     return base in _PER_LAYER
 
 
@@ -792,18 +808,26 @@ def fuse_qkv_weights(params: Dict[str, jax.Array]) -> Dict[str, jax.Array]:
     p = dict(params)
     p["wqkv"] = jnp.concatenate(
         [p.pop("wq"), p.pop("wk"), p.pop("wv")], axis=-1)
-    if "wq_scale" in p:
-        p["wqkv_scale"] = jnp.concatenate(
-            [p.pop("wq_scale"), p.pop("wk_scale"), p.pop("wv_scale")],
-            axis=-1)
+    for suf in ("_scale", "_iscale"):
+        if "wq" + suf in p:
+            p["wqkv" + suf] = jnp.concatenate(
+                [p.pop("wq" + suf), p.pop("wk" + suf), p.pop("wv" + suf)],
+                axis=-1)
     return p
 
 
 def _wmm(x, params, name):
-    """x @ params[name], transparently decoding fp8 weights (e4m3 bits in
-    int8 + per-output-channel scale applied to the small output). ``params``
-    holds either full stacked weights (head/lm use) or one scan slice."""
+    """x @ params[name], transparently decoding quantized weights with the
+    per-output-channel scale applied to the small output. Two 8-bit
+    containers share the int8 dtype: LINEAR int8 (key ``name+"_iscale"``;
+    one hardware convert, the TPU-native choice) and e4m3 bits (key
+    ``name+"_scale"``; 9-int-op/4-elem VPU bit decode). ``params`` holds
+    either full stacked weights (head/lm use) or one scan slice."""
     w = params[name]
+    if name + "_iscale" in params:
+        y = x @ w.astype(x.dtype)  # int8 -> bf16 is exact (|w| <= 127)
+        return (y.astype(jnp.float32) * params[name + "_iscale"]).astype(
+            x.dtype)
     if w.dtype == jnp.int8:
         from flashinfer_tpu.ops.fp8 import e4m3_bits_to_bf16
 

@@ -130,6 +130,60 @@ def test_engine_fp8_weights():
     assert rel < 0.08, rel
 
 
+def test_engine_int8_weights():
+    """LINEAR int8 weights (TPU-native 8-bit container; one hardware
+    convert per operand read vs the e4m3 bit decode): runs end to end,
+    tighter round-trip than e4m3, and greedy tokens track bf16."""
+    import numpy as np
+    from flashinfer_tpu.models.llama import (
+        LlamaConfig,
+        llama_init_weights,
+    )
+
+    mc = LlamaConfig.tiny()
+    kw = dict(model=mc, max_batch=2, num_pages=32, page_size=8,
+              max_seq_len=64, greedy=True, interpret=True)
+    e16 = LlamaServingEngine(EngineConfig(**kw), seed=3)
+    ei8 = LlamaServingEngine(
+        EngineConfig(weight_dtype="int8", **kw), seed=3)
+    assert ei8.params["wqkv"].dtype == jnp.int8
+    assert "wqkv_iscale" in ei8.params and "wqkv_scale" not in ei8.params
+
+    r16 = e16.add_request([5, 6, 7, 8], 6)
+    ri8 = ei8.add_request([5, 6, 7, 8], 6)
+    e16.run_to_completion()
+    ei8.run_to_completion()
+    assert len(ri8.output) == 6
+    assert ri8.output[:2] == r16.output[:2]  # early greedy tokens agree
+    # per-channel int8 round-trip is tighter than e4m3 (<=0.5/127 ~ 0.4%)
+    w16 = np.asarray(llama_init_weights(jax.random.key(3), mc)["wq"],
+                     np.float32)
+    nq = mc.num_qo_heads * mc.head_dim
+    wq = (np.asarray(ei8.params["wqkv"][:, :, :nq], np.float32)
+          * np.asarray(ei8.params["wqkv_iscale"][:, :, :nq], np.float32))
+    rel = np.abs(wq - w16).max() / np.abs(w16).max()
+    assert rel < 0.005, rel
+
+
+def test_llama_init_weights_int8_matches_quantizer():
+    """On-device int8 generation == quantize(bf16 init) in scheme (scale
+    keys, dtypes, shapes); values differ only by the f32-vs-bf16 source."""
+    from flashinfer_tpu.models.llama import (
+        LlamaConfig,
+        llama_init_weights_int8,
+    )
+
+    mc = LlamaConfig.tiny()
+    p = llama_init_weights_int8(jax.random.key(0), mc)
+    for name in ("wq", "wk", "wv", "wo", "w_gate_up", "w_down", "lm_head"):
+        assert p[name].dtype == jnp.int8
+        s = p[name + "_iscale"]
+        assert s.dtype == jnp.float32
+        assert s.shape[-2] == 1 and s.shape[-1] == p[name].shape[-1]
+        assert int(jnp.max(jnp.abs(p[name].astype(jnp.int32)))) <= 127
+    assert p["embedding"].dtype == mc.dtype
+
+
 @pytest.mark.parametrize("kv_dtype", ["model", "fp8_e4m3"])
 def test_engine_hnd_layout_token_exact(kv_dtype):
     """kv_layout="HND" (head-sliceable cache -> head-group DMAs + the
