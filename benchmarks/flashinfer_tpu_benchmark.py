@@ -149,6 +149,11 @@ def bench_moe(args) -> dict:
     from flashinfer_tpu.ops.fused_moe import fused_moe, route_tokens
     from flashinfer_tpu.testing.utils import bench_tpu_time_differential
 
+    if args.weight_dtype not in ("model", "fp8_e4m3"):
+        # don't silently bench bf16 while reporting another dtype
+        raise SystemExit(
+            f"bench_moe supports --weight-dtype model|fp8_e4m3, "
+            f"got {args.weight_dtype!r}")
     rng = np.random.default_rng(0)
     m, hidden, inter = args.m, args.k, args.inter
     e, top_k = args.num_experts, args.top_k

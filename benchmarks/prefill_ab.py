@@ -72,6 +72,24 @@ def main():
     cands = seen["cands"]
     print(f"# candidates: {cands}", flush=True)
 
+    # Row 0: the DEFAULT wrapper path (unpinned heuristic) timed in the SAME
+    # session as the pinned tactics — the wrapper-vs-A/B comparison must not
+    # straddle sessions/load conditions (VERDICT r4 #2).
+    paged_mod._select_tiles = orig_select
+
+    def step_default(q, k, v):
+        o = w.run(q, (k, v))
+        return q + o[..., :d].astype(q.dtype) * 0.001
+
+    dt0 = bench_tpu_time_differential(
+        step_default, q0, k, v, n_short=2, n_long=args.iters + 2)
+    print(json.dumps({
+        "tactic": "default-heuristic",
+        "median_time_ms": round(dt0 * 1e3, 4),
+        "tflops": round(flops / dt0 / 1e12, 3),
+        "tb_per_sec": round(byts / dt0 / 1e12, 4),
+    }), flush=True)
+
     results = []
     try:
         for cand in cands[: args.max_tactics]:

@@ -10,17 +10,47 @@ driver-visible gate the round-2 review asked for)."""
 import sys, os
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import jax, jax.numpy as jnp, numpy as np, time
+
+# Persistent compile cache for the gate itself: without it every run
+# cold-compiles every case through the (slow, sometimes congested) tunnel —
+# the r4 "decode long-ctx split-kv (704.1s)" outlier was indistinguishable
+# from a regression. With the cache, warm runs are seconds and a budget
+# overrun MEANS something.
+_CACHE_DIR = "/tmp/jax_cache_tpu_gate"
+jax.config.update("jax_compilation_cache_dir", _CACHE_DIR)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+try:
+    _cache_entries = len(os.listdir(_CACHE_DIR))
+except OSError:
+    _cache_entries = 0
+CACHE_STATE = "warm" if _cache_entries else "cold"
+print(f"gate compile cache: {CACHE_STATE} ({_cache_entries} entries in "
+      f"{_CACHE_DIR})", flush=True)
+
 import flashinfer_tpu as fi
 from flashinfer_tpu.ops.attention.mla import BatchMLAPagedAttentionWrapper
 
 rng = np.random.default_rng(0)
 failures = []
-def report(name, fn):
+slow = []
+# Per-case wall budget (compile+run). Cold compiles through the tunnel are
+# allowed 4x. Overruns are reported (and counted in the summary) but are
+# not legality failures — they exist so a 700s case reads as "cold cache /
+# tunnel congestion" or "regression", never as silent noise.
+_BUDGET_S = 90.0
+def report(name, fn, budget=_BUDGET_S):
     t0 = time.perf_counter()
+    limit = budget if CACHE_STATE == "warm" else 4 * budget
     try:
         out = fn()
         jax.block_until_ready(out)
-        print(f"OK   {name} ({time.perf_counter()-t0:.1f}s)", flush=True)
+        dt = time.perf_counter() - t0
+        tag = "OK  "
+        if dt > limit:
+            slow.append((name, round(dt, 1)))
+            tag = "SLOW"
+        print(f"{tag} {name} ({dt:.1f}s; {CACHE_STATE} budget {limit:.0f}s)",
+              flush=True)
     except Exception as e:
         failures.append(name)
         print(f"FAIL {name}: {type(e).__name__}: {str(e)[:200]}", flush=True)
@@ -302,4 +332,8 @@ report("decode-window engine (4-step jitted scan)", decode_window_engine)
 if failures:
     print(f"MOSAIC-GATE: {len(failures)} FAILURES: {failures}", flush=True)
     sys.exit(1)
-print("MOSAIC-GATE: all OK", flush=True)
+if slow:
+    print(f"MOSAIC-GATE: all OK ({CACHE_STATE} cache; "
+          f"{len(slow)} over budget: {slow})", flush=True)
+else:
+    print(f"MOSAIC-GATE: all OK ({CACHE_STATE} cache)", flush=True)

@@ -102,6 +102,22 @@ def _dense_attention_batch(q, k, v, pos):
     return jax.vmap(one)(q, k, v)
 
 
+def _assert_dense_params(params: Dict[str, jax.Array]) -> None:
+    """The dense paths do raw ``x @ w`` matmuls; quantized containers
+    (e4m3 bits or linear int8 + ``_scale``/``_iscale`` keys) would compute
+    garbage silently. The quantized containers are engine-only (``_wmm``)."""
+    bad = [k for k in params if k.endswith("_scale") or k.endswith("_iscale")]
+    if bad:
+        raise ValueError(
+            f"dense llama paths take unquantized weights; got quantized "
+            f"containers (scale keys {bad[:3]}...) — use the serving engine")
+    wo = params.get("wo")
+    if wo is not None and wo.dtype == jnp.int8:
+        raise ValueError(
+            "dense llama paths take unquantized weights; got int8 weight "
+            "containers — use the serving engine (_wmm dequant path)")
+
+
 def llama_dense_layer(
     lp: Dict[str, jax.Array],  # ONE layer's weights (no leading L axis)
     x: jax.Array,  # [batch, seq, hidden]
@@ -110,6 +126,7 @@ def llama_dense_layer(
 ) -> jax.Array:
     """One dense transformer layer (attn + SwiGLU MLP, causal). Shared by
     the dense forward and the pp-pipelined forward (parallel/pipeline.py)."""
+    _assert_dense_params(lp)
     B, S, _ = x.shape
     d, hq, hkv = cfg.head_dim, cfg.num_qo_heads, cfg.num_kv_heads
     xn = rmsnorm(x, lp["attn_norm"], cfg.rms_eps)
@@ -146,6 +163,7 @@ def llama_forward_dense(
     cfg: LlamaConfig,
 ) -> jax.Array:
     """Dense causal forward returning logits [batch, seq, vocab]."""
+    _assert_dense_params(params)
     x = params["embedding"][token_ids]  # [B, S, h]
     S = token_ids.shape[1]
     pos = jnp.arange(S, dtype=jnp.int32)
@@ -176,6 +194,7 @@ def llama_decode_step(
     stays jittable: planning happened outside, the fns close over plan
     state. Returns (logits [batch, vocab], updated caches).
     """
+    _assert_dense_params(params)
     B = token_ids.shape[0]
     h, d = cfg.hidden_size, cfg.head_dim
     hq, hkv = cfg.num_qo_heads, cfg.num_kv_heads

@@ -142,6 +142,11 @@ def mixtral_decode_step(
     decode_wrapper,  # planned BatchDecodeWithPagedKVCacheWrapper (NHD)
     *,
     interpret: Optional[bool] = None,
+    moe_fn=None,  # (params, cfg, layer, xn) -> ffn out; defaults to the
+    # single-device _moe_ffn. Parallel deployments inject an EP / MoE-TP
+    # sharded layer here (parallel/moe.py fused_moe_ep) — the same
+    # composition point the reference exposes via cutlass_fused_moe's
+    # tp/ep args (fused_moe/core.py:758).
 ) -> Tuple[jax.Array, Tuple[jax.Array, jax.Array]]:
     """One paged decode step. Returns (logits, (new_k, new_v))."""
     from flashinfer_tpu.ops.page import append_paged_kv_cache
@@ -149,6 +154,8 @@ def mixtral_decode_step(
     B = token_ids.shape[0]
     h, d = cfg.hidden_size, cfg.head_dim
     hq, hkv = cfg.num_qo_heads, cfg.num_kv_heads
+    if moe_fn is None:
+        moe_fn = _moe_ffn
     x = params["embedding"][token_ids]
     k_all, v_all = kv_caches
     batch_indices = jnp.arange(B, dtype=jnp.int32)
@@ -170,7 +177,7 @@ def mixtral_decode_step(
         x = x + (attn.reshape(B, hq * d) @ params["wo"][layer]).astype(x.dtype)
 
         xn = rmsnorm(x, params["ffn_norm"][layer], cfg.rms_eps)
-        x = x + _moe_ffn(params, cfg, layer, xn).astype(x.dtype)
+        x = x + moe_fn(params, cfg, layer, xn).astype(x.dtype)
 
     x = rmsnorm(x, params["final_norm"], cfg.rms_eps)
     logits = (x @ params["lm_head"]).astype(jnp.float32)

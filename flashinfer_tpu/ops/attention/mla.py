@@ -163,6 +163,16 @@ def _mla_kernel(
         q_ckv = q_ckv_ref[0]
         q_pe = q_pe_ref[0]
         dn = (((1,), (1,)), ((), ()))
+        if kv_dequant == "int8":
+            # LINEAR int8 cache (TPU-native 8-bit container): ONE hardware
+            # convert per operand — vs the e4m3 bit decode's 9 int32 ops
+            # per 4 elements. The per-tensor scale is folded into
+            # sm_scale/v_scale by the wrapper; rows are NOT permuted.
+            ck_t = ckv_buf[slot].astype(jnp.bfloat16)
+            kp_t = kpe_buf[slot].astype(jnp.bfloat16)
+        else:
+            ck_t = ckv_buf[slot]
+            kp_t = kpe_buf[slot]
         if fp8:
             # fp8 caches ship as int8 bits (pre-v6 TPUs have no hw fp8);
             # packed bit decode yields even/odd row halves at 2^-120 scale.
@@ -190,10 +200,10 @@ def _mla_kernel(
             )
         else:
             s = jax.lax.dot_general(
-                q_ckv, ckv_buf[slot], dn,
+                q_ckv, ck_t, dn,
                 preferred_element_type=jnp.float32,
             ) + jax.lax.dot_general(
-                q_pe, kpe_buf[slot], dn,
+                q_pe, kp_t, dn,
                 preferred_element_type=jnp.float32,
             )
         # exp2 is the hardware transcendental: fold log2(e) into the scale
@@ -245,9 +255,7 @@ def _mla_kernel(
                 pb[:, half:], vo, dn0, preferred_element_type=jnp.float32
             )
         else:
-            v = jnp.where(col_valid, ckv_buf[slot], 0) if masked else (
-                ckv_buf[slot]
-            )
+            v = jnp.where(col_valid, ck_t, 0) if masked else ck_t
             pv = jax.lax.dot_general(
                 p.astype(v.dtype), v, dn0, preferred_element_type=jnp.float32
             )
@@ -409,10 +417,11 @@ def _mla_paged_run(
     if sel is not None:
         tile_k = sel["tile_k"]
     nsub = plan_meta.kv_chunk_size // tile_k
-    if kv_dequant == "e4m3":
+    if kv_dequant in ("e4m3", "int8"):
         assert ckv_cache.dtype == jnp.int8 and kpe_cache.dtype == jnp.int8, (
-            "fp8 MLA caches must arrive as int8 bit containers"
+            "8-bit MLA caches must arrive as int8 containers"
         )
+    if kv_dequant == "e4m3":
         assert tile_k % 4 == 0, (
             f"fp8 MLA needs tile_k % 4 == 0 (packed 4-byte decode), got {tile_k}"
         )
@@ -627,12 +636,20 @@ class BatchMLAPagedAttentionWrapper:
         interpret: Optional[bool] = None,
         ckv_scale: float = 1.0,
         kpe_scale: float = 1.0,
+        cache_dtype: str = "e4m3",
     ):
-        """ckv_scale/kpe_scale: FP8 cache dequant scales (the reference's
+        """ckv_scale/kpe_scale: 8-bit cache dequant scales (the reference's
         trtllm MLA decode takes bmm1_scale/bmm2_scale — decode.py:2298).
         FP8 caches arrive as int8 bit containers (or float8_e4m3fn, which
         costs a one-off bitcast copy); scales fold into sm_scale / the
-        output epilogue — zero per-element dequant multiplies."""
+        output epilogue — zero per-element dequant multiplies.
+
+        cache_dtype disambiguates int8 containers: "e4m3" (default) treats
+        the bytes as e4m3 bit patterns (9-int32-op in-kernel bit decode);
+        "int8" treats them as LINEAR int8 (value = q * ckv_scale) — the
+        TPU-native 8-bit container (pre-v6 TPUs have no fp8 hardware; the
+        int8->bf16 convert is one VPU op, so linear int8 streams at ~the
+        bf16 compute rate while halving HBM traffic)."""
         st = self._state
         assert st is not None, "call plan() before run()"
         backend = self._backend
@@ -646,10 +663,13 @@ class BatchMLAPagedAttentionWrapper:
 
         nnz, h, d_ckv = q_nope.shape
         d_kpe = q_pe.shape[-1]
+        if cache_dtype not in ("e4m3", "int8"):
+            raise ValueError(f"unknown cache_dtype {cache_dtype!r}")
         if ckv_cache.dtype == jnp.float8_e4m3fn:
             ckv_cache = jax.lax.bitcast_convert_type(ckv_cache, jnp.int8)
             kpe_cache = jax.lax.bitcast_convert_type(kpe_cache, jnp.int8)
-        kv_dequant = "e4m3" if ckv_cache.dtype == jnp.int8 else None
+            cache_dtype = "e4m3"  # explicit fp8 dtype overrides the flag
+        kv_dequant = cache_dtype if ckv_cache.dtype == jnp.int8 else None
 
         # Mosaic can only DMA full 128-lane tiles: pad the rope part (64
         # lanes) to 128. Zero pad lanes contribute 0 to the dot (int8 zero
@@ -682,6 +702,12 @@ class BatchMLAPagedAttentionWrapper:
                 q_pe = q_pe * q_pe.dtype.type(kpe_scale / ckv_scale)
             sm_scale = sm_scale * ckv_scale * _E4M3_SHIFT_SCALE
             v_scale = ckv_scale * _E4M3_SHIFT_SCALE
+        elif kv_dequant == "int8":
+            # linear int8: same folding, no 2^60 bit-decode shifts
+            if kpe_scale != ckv_scale:
+                q_pe = q_pe * q_pe.dtype.type(kpe_scale / ckv_scale)
+            sm_scale = sm_scale * ckv_scale
+            v_scale = ckv_scale
 
         def pack(arr, d):
             # kvz=1: rows are (token, head) pairs
