@@ -219,6 +219,7 @@ def bench_mla(args) -> dict:
     indices = rng.permutation(b * pages + 8)[: b * pages].astype(np.int32)
     kv_lens = np.full(b, skv, np.int32)
     fp8 = args.kv_dtype == "fp8_e4m3"
+    int8 = args.kv_dtype == "int8"
     ckv = jnp.asarray(
         rng.standard_normal((b * pages + 8, ps, dckv)), jnp.bfloat16)
     # kpe stored 128-padded (the wrapper's zero-copy fast path)
@@ -233,19 +234,27 @@ def bench_mla(args) -> dict:
                 (x.astype(jnp.float32) / scale).astype(jnp.float8_e4m3fn),
                 jnp.int8)
         ckv, kpe = q8(ckv), q8(kpe)
+    elif int8:
+        scale = 4.0 / 127.0  # linear int8, per-tensor amax/127
+        def qi(x):
+            return jnp.clip(jnp.round(x.astype(jnp.float32) / scale),
+                            -127, 127).astype(jnp.int8)
+        ckv, kpe = qi(ckv), qi(kpe)
     qn = jnp.asarray(rng.standard_normal((b, h, dckv)), jnp.bfloat16)
     qp = jnp.asarray(rng.standard_normal((b, h, dkpe)), jnp.bfloat16)
 
-    w = BatchMLAPagedAttentionWrapper(backend="pallas")
+    w = BatchMLAPagedAttentionWrapper(backend="pallas",
+                                      tile_k=args.tile_k)
     w.plan(np.arange(b + 1), indptr, indices, kv_lens, h, dckv, dkpe, ps)
 
     def step(qn, qp, ckv, kpe):
-        o = w.run(qn, qp, ckv, kpe, ckv_scale=scale, kpe_scale=scale)
+        o = w.run(qn, qp, ckv, kpe, ckv_scale=scale, kpe_scale=scale,
+                  cache_dtype="int8" if int8 else "e4m3")
         return qn + o.astype(qn.dtype) * jnp.bfloat16(1e-3)
 
     dt = bench_tpu_time_differential(step, qn, qp, ckv, kpe,
                                      n_short=2, n_long=args.iters + 2)
-    kv_bytes = b * skv * (dckv + dkpe) * (1 if fp8 else 2)
+    kv_bytes = b * skv * (dckv + dkpe) * (1 if (fp8 or int8) else 2)
     eff_bytes = b * skv * (dckv + dkpe) * 2  # bf16-equivalent logical bytes
     return {
         "routine": "mla",
@@ -455,7 +464,10 @@ def main(argv=None) -> int:
         "gemm", "sampling", "serving", "moe", "mla",
     ])
     p.add_argument("--model", default="1b", choices=["tiny", "1b", "8b"])
-    p.add_argument("--kv-dtype", default="model", choices=["model", "fp8_e4m3"])
+    p.add_argument("--kv-dtype", default="model",
+                   choices=["model", "fp8_e4m3", "int8"])
+    p.add_argument("--tile-k", type=int, default=None,
+                   help="pin the kernel kv tile (mla routine)")
     p.add_argument("--weight-dtype", default="model",
                    choices=["model", "fp8_e4m3", "int8"])
     p.add_argument("--num-pages", type=int, default=4096)

@@ -134,11 +134,24 @@ class LlamaServingEngine:
             raise ValueError(f"unknown weight_dtype {config.weight_dtype!r}")
         if config.kv_layout not in ("NHD", "HND"):
             raise ValueError(f"unknown kv_layout {config.kv_layout!r}")
+        if config.page_size < 8:
+            # tiny pages are the vector-sparse wrapper's regime: its plan
+            # rides a synthetic repacked page table that the engine's
+            # direct run_device_plan path does not apply, so the plan and
+            # the raw cache would disagree (silently wrong attention)
+            raise ValueError(
+                f"engine page_size must be >= 8, got {config.page_size}")
         self.params = params or llama_init_weights(jax.random.key(seed), mc)
-        if config.weight_dtype == "fp8_e4m3" and self.params["wo"].dtype != jnp.int8:
-            from flashinfer_tpu.models.llama import quantize_llama_weights_fp8
+        if config.weight_dtype == "fp8_e4m3":
+            if "wo_iscale" in self.params:
+                raise ValueError(
+                    "weight_dtype='fp8_e4m3' but params hold linear-int8 "
+                    "containers (_iscale keys present)")
+            if self.params["wo"].dtype != jnp.int8:
+                from flashinfer_tpu.models.llama import (
+                    quantize_llama_weights_fp8)
 
-            self.params = quantize_llama_weights_fp8(self.params)
+                self.params = quantize_llama_weights_fp8(self.params)
         elif config.weight_dtype == "int8" and "wo_iscale" not in self.params:
             if self.params["wo"].dtype == jnp.int8:
                 raise ValueError(
@@ -216,6 +229,7 @@ class LlamaServingEngine:
             )
         self.steps = 0
         self.generated_tokens = 0
+        self.preemptions = 0
 
     # ------------------------------------------------------------------ API
 
@@ -320,17 +334,27 @@ class LlamaServingEngine:
     # ------------------------------------------------------------ admission
 
     def _admit(self, emitted: List[Tuple[int, int]]) -> None:
-        """Move pending requests into free slots; prefill them as one batch."""
+        """Move pending requests into free slots; prefill them as one batch.
+
+        A request resuming after preemption re-prefills its FULL context
+        (prompt + generated output) — the vLLM/SGLang "recompute" policy —
+        so its KV state is identical to never having been evicted."""
         admitted: List[GenerationRequest] = []
         for slot in range(self.cfg.max_batch):
             if not self._pending or self._slots[slot] is not None:
                 continue
             req = self._pending[0]
-            need_pages = -(-len(req.prompt) // self.cfg.page_size)
+            ctx_len = len(req.prompt) + len(req.output)
+            need_pages = -(-ctx_len // self.cfg.page_size)
+            if need_pages > self.pool.num_pages:
+                raise ValueError(
+                    f"request {req.request_id} needs {need_pages} pages but "
+                    f"the pool only has {self.pool.num_pages} — it can never "
+                    "be admitted")
             if need_pages > self.pool.free_pages:
                 break
             seq = self.pool.create()
-            ok = self.pool.extend(seq, len(req.prompt))
+            ok = self.pool.extend(seq, ctx_len)
             assert ok
             req._seq, req._slot = seq, slot
             self._slots[slot] = req
@@ -338,6 +362,55 @@ class LlamaServingEngine:
             admitted.append(req)
         if admitted:
             self._prefill(admitted, emitted)
+
+    def _preempt_youngest(self) -> Optional[GenerationRequest]:
+        """Evict the youngest running request (highest request_id = lowest
+        continuous-batching priority): free its KV pages and put it at the
+        FRONT of the pending queue. Re-admission re-prefills prompt+output,
+        so greedy output is token-exact across the eviction. Returns the
+        victim, or None if nothing is running."""
+        cands = [r for r in self._slots if r is not None]
+        if not cands:
+            return None
+        victim = max(cands, key=lambda r: r.request_id)
+        self.pool.release(victim._seq)
+        self._slots[victim._slot] = None
+        victim._seq = victim._slot = -1
+        self._pending.insert(0, victim)
+        self.preemptions += 1
+        return victim
+
+    def _reserve(
+        self, reqs: List[GenerationRequest], extra: int
+    ) -> List[GenerationRequest]:
+        """Reserve KV room (+extra tokens each) for this decode step,
+        evicting-and-requeueing the youngest sequence on pool exhaustion
+        instead of dying (reference serving contract: vLLM/SGLang preempt
+        on KV pressure). Returns the surviving request list."""
+        live = list(reqs)
+        i = 0
+        while i < len(live):
+            r = live[i]
+            if self.pool.extend(r._seq, self.pool.seq_len(r._seq) + extra):
+                i += 1
+                continue
+            if self.num_running == 1:
+                # evicting r frees the whole pool and it STILL won't fit:
+                # the single sequence exceeds the pool — a config error,
+                # not scheduling pressure
+                raise RuntimeError(
+                    "KV page pool exhausted: one sequence alone exceeds "
+                    f"the pool ({self.pool.num_pages} pages)")
+            victim = self._preempt_youngest()
+            assert victim is not None
+            if victim is r:
+                live.pop(i)  # don't advance i
+            elif victim in live:
+                vi = live.index(victim)
+                live.pop(vi)
+                if vi < i:
+                    i -= 1
+        return live
 
     def _batch_tables(self, reqs) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
         indptr, indices, last = self.pool.batch_export([r._seq for r in reqs])
@@ -347,7 +420,10 @@ class LlamaServingEngine:
 
     def _prefill(self, reqs: List[GenerationRequest], emitted) -> None:
         mc = self.cfg.model
-        prompts = [r.prompt for r in reqs]
+        # full context: fresh requests have empty output; requests resuming
+        # after preemption re-prefill prompt + generated-so-far (the sampled
+        # next token continues generation exactly where eviction cut it off)
+        prompts = [r.prompt + r.output for r in reqs]
         lens = np.asarray([len(p) for p in prompts])
         nnz = int(lens.sum())
         bucket = next_power_of_2(max(nnz, 8))
@@ -432,10 +508,10 @@ class LlamaServingEngine:
     def _decode(self) -> List[Tuple[int, int]]:
         mc, B = self.cfg.model, self.cfg.max_batch
         reqs = [r for r in self._slots if r is not None]
-        # room for the token being appended this step
-        for r in reqs:
-            if not self.pool.extend(r._seq, self.pool.seq_len(r._seq) + 1):
-                raise RuntimeError("KV page pool exhausted")  # todo: preempt
+        # room for the token being appended this step (preempts on pressure)
+        reqs = self._reserve(reqs, 1)
+        if not reqs:
+            return []
 
         full_indptr, slot_indices, full_last, kv_lens = self._slot_tables(reqs)
         tokens = np.zeros(B, np.int64)
@@ -495,9 +571,9 @@ class LlamaServingEngine:
         )
         if window <= 1:
             return self._decode()
-        for r in reqs:
-            if not self.pool.extend(r._seq, self.pool.seq_len(r._seq) + window):
-                raise RuntimeError("KV page pool exhausted")  # todo: preempt
+        reqs = self._reserve(reqs, window)
+        if not reqs:
+            return []
 
         full_indptr, slot_indices, full_last, kv_end = self._slot_tables(reqs)
         active = kv_end > 0
@@ -579,13 +655,14 @@ class LlamaServingEngine:
         mc, B = self.cfg.model, self.cfg.max_batch
         G = self.cfg.spec_tokens
         reqs = [r for r in self._slots if r is not None]
+        reqs = self._reserve(reqs, G + 1)
+        if not reqs:
+            return []
         kv0 = np.zeros(B, np.int64)
         drafts = np.zeros((B, G), np.int64)
         for r in reqs:
             s = r._slot
-            kv0[s] = self.pool.seq_len(r._seq)
-            if not self.pool.extend(r._seq, int(kv0[s]) + G + 1):
-                raise RuntimeError("KV page pool exhausted")  # todo: preempt
+            kv0[s] = self.pool.seq_len(r._seq) - (G + 1)  # pre-reserve length
             ctx = r.prompt + r.output
             drafts[s] = propose_ngram(ctx, G, self.cfg.spec_ngram)
 

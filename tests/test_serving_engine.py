@@ -262,3 +262,50 @@ def test_engine_decode_window_eos_rollback():
         assert eng.pool.free_pages == cfg.num_pages
         outs[window] = r.output
     assert outs[4] == outs[1], outs
+
+
+@pytest.mark.parametrize("mode", ["decode", "window", "spec"])
+def test_engine_preemption_token_exact(mode):
+    """Oversubscribed KV pool: decode-time pool exhaustion evicts the
+    youngest sequence and requeues it (recompute preemption, the
+    vLLM/SGLang contract) instead of raising. Every request still
+    completes, greedy output is token-exact vs a roomy pool, and no
+    pages leak."""
+    mc = LlamaConfig.tiny()
+    rng = np.random.default_rng(7)
+    prompts = [rng.integers(0, mc.vocab_size, 6).tolist() for _ in range(3)]
+    n_new = 10  # each request grows to 16 tokens = 2 pages of 8
+    kw = {}
+    if mode == "window":
+        kw["decode_window"] = 3
+    elif mode == "spec":
+        kw["spec_tokens"] = 2
+    outs = {}
+    for pages in (64, 5):  # roomy vs oversubscribed (3*2=6 pages needed)
+        cfg = EngineConfig(
+            model=mc, max_batch=3, num_pages=pages, page_size=8,
+            max_seq_len=32, greedy=True, interpret=True, **kw,
+        )
+        eng = LlamaServingEngine(cfg, seed=0)
+        reqs = [eng.add_request(p, n_new) for p in prompts]
+        eng.run_to_completion(max_steps=300)
+        assert all(r.done for r in reqs), [r.done for r in reqs]
+        assert eng.pool.free_pages == cfg.num_pages  # nothing leaked
+        if pages == 5:
+            assert eng.preemptions > 0, "pool was not actually oversubscribed"
+        outs[pages] = [r.output for r in reqs]
+    assert outs[5] == outs[64], (outs[5], outs[64])
+
+
+def test_engine_single_sequence_exceeding_pool_raises():
+    """One sequence alone larger than the whole pool is a config error,
+    not scheduling pressure — admit fails fast instead of spinning."""
+    mc = LlamaConfig.tiny()
+    cfg = EngineConfig(
+        model=mc, max_batch=2, num_pages=2, page_size=8,
+        max_seq_len=32, greedy=True, interpret=True,
+    )
+    eng = LlamaServingEngine(cfg, seed=0)
+    eng.add_request(list(range(20)), 4)  # needs 3 pages at admission
+    with pytest.raises(ValueError, match="never"):
+        eng.step()
