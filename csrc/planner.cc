@@ -101,6 +101,17 @@ FiPlan* fi_plan_create(
     while (kv_chunk_size / 2 >= min_kv_chunk_size &&
            total_items_at(kv_chunk_size) < target_num_items)
       kv_chunk_size /= 2;
+    // never derive a chunk wider than the longest request (plan.py: dead
+    // kernel substeps beyond the item's real kv span cost ~2us each).
+    // Empty batches keep the uncapped derivation (plan.py batch==0 path).
+    if (batch > 0) {
+      int64_t max_len = 1;
+      for (int64_t i = 0; i < batch; ++i)
+        max_len = std::max(max_len, kv_lens[i]);
+      int64_t cap = 1;
+      while (cap < max_len) cap <<= 1;
+      kv_chunk_size = std::min(kv_chunk_size, cap);
+    }
   }
   kv_chunk_size = round_up(std::max(kv_chunk_size, page_size), page_size);
 

@@ -237,6 +237,15 @@ def _plan_attention_numpy(
             < target_num_items
         ):
             kv_chunk_size //= 2
+        # never derive a chunk wider than the longest request: the kernel
+        # runs nsub = chunk/tile_k substeps per item regardless of the
+        # item's real kv span, so chunk 4096 over kv 2048 makes HALF the
+        # grid dead steps that still pay the ~2us/step overhead (measured:
+        # MLA b32 kv2048 went 317 -> ~575 GB/s from this cap alone)
+        kv_chunk_size = min(
+            kv_chunk_size,
+            int(next_power_of_2(int(np.maximum(kv_lens, 1).max()))),
+        )
     kv_chunk_size = round_up(max(kv_chunk_size, page_size), page_size)
 
     # Per (request, qo_tile): number of kv chunks. With causal masking later
