@@ -316,7 +316,7 @@ def bench_serving(args) -> dict:
     # int8 e4m3 KV containers need page_size >= the 32-row int8 VMEM
     # sublane tile on real TPUs; the engine refuses smaller pages
     ps = args.page_size
-    if args.kv_dtype == "fp8_e4m3" and ps < 32:
+    if args.kv_dtype in ("fp8_e4m3", "int8") and ps < 32:
         ps = 32
     cfg = EngineConfig(
         model=mc, max_batch=args.batch_size, num_pages=args.num_pages,

@@ -35,6 +35,7 @@ per-head slices inside VMEM are strided, so HND remains the fast path.
 from __future__ import annotations
 
 import functools
+import os
 from typing import Any, Optional, Tuple
 
 import jax
@@ -180,6 +181,7 @@ def _paged_kernel(
     ragged: bool,
     kv_major: bool,
     head_loop: bool = False,
+    probe: Optional[str] = None,
 ):
     # --- unpack refs ---
     idx = 0
@@ -274,8 +276,18 @@ def _paged_kernel(
                 pltpu.make_async_copy(k_dst, k_dst, sem_k.at[slot, p]).wait()
                 pltpu.make_async_copy(v_dst, v_dst, sem_v.at[slot, p]).wait()
 
+    # probe: instrumented-build decomposition (reference profiler.cuh role;
+    # TPU Pallas exposes no in-kernel clock, so benchmarks/kernel_decomp.py
+    # times stripped variants instead of recording timestamps): "grid" =
+    # grid walk only, "dma" = DMA pipeline only, "compute" = body on
+    # resident garbage (no DMA).
+    do_dma = probe not in ("grid", "compute")
+    do_compute = probe not in ("grid", "dma")
+
     # --- pipeline: warm up on the very first step, then prefetch next ---
-    if kv_major and nsub == 1:
+    if not do_dma:
+        slot = plan_refs[_DMA_SLOT][w] if (kv_major and nsub == 1) else flat % 2
+    elif kv_major and nsub == 1:
         # kv-major dedup mode (kv_major_order): consecutive work items that
         # share a KV range reuse the resident VMEM tile — the prefill HBM
         # saving (KV is read once per request, not once per qo tile).
@@ -509,7 +521,9 @@ def _paged_kernel(
         # kv chunks per qo tile (long-context prefill)
         and (tile_q <= 64 or head_loop)
     )
-    if can_skip_mask:
+    if not do_compute:
+        pass
+    elif can_skip_mask:
         interior = remaining >= tile_k
         if causal:
             min_q_tok = plan_refs[_Q_POS_BASE][w] + (
@@ -1023,6 +1037,7 @@ def _finish_run(
         ragged=ragged,
         kv_major=plan_meta.kv_major,
         head_loop=head_loop,
+        probe=os.environ.get("FLASHINFER_TPU_KERNEL_PROBE") or None,
     )
 
     if ragged or kv_layout == TensorLayout.NHD:

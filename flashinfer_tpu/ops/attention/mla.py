@@ -78,6 +78,7 @@ def _mla_kernel(
     num_items: int,
     d_ckv: int,
     d_kpe: int,
+    probe: Optional[str] = None,
 ):
     idx = 0
     plan_refs = refs[idx : idx + _NUM_PLAN]; idx += _NUM_PLAN
@@ -131,14 +132,23 @@ def _mla_kernel(
                 d2 = kpe_buf.at[slot, psl, :]
                 pltpu.make_async_copy(d2, d2, sem_kpe.at[slot, p]).wait()
 
-    @pl.when(flat == 0)
-    def _warmup():
-        start_dmas(w, j, 0)
+    # probe: instrumented-build decomposition (reference profiler.cuh role;
+    # TPU Pallas exposes no in-kernel clock, so instead of timestamped
+    # events the harness times stripped variants — see
+    # benchmarks/kernel_decomp.py): "grid" = grid walk only, "dma" = DMA
+    # pipeline only, "compute" = body on resident garbage (no DMA).
+    do_dma = probe not in ("grid", "compute")
+    do_compute = probe not in ("grid", "dma")
 
-    @pl.when(flat + 1 < total_steps)
-    def _prefetch():
-        nf = flat + 1
-        start_dmas(nf // nsub, nf % nsub, nf % 2)
+    if do_dma:
+        @pl.when(flat == 0)
+        def _warmup():
+            start_dmas(w, j, 0)
+
+        @pl.when(flat + 1 < total_steps)
+        def _prefetch():
+            nf = flat + 1
+            start_dmas(nf // nsub, nf % nsub, nf % 2)
 
     @pl.when(j == 0)
     def _init():
@@ -147,7 +157,8 @@ def _mla_kernel(
         l_ref[:] = jnp.zeros_like(l_ref)
 
     slot = flat % 2
-    wait_dmas(w, j, slot)
+    if do_dma:
+        wait_dmas(w, j, slot)
 
     page0, sub_start, remaining = descriptors(w, j)
     valid_item = plan_refs[_REQ][w] >= 0
@@ -273,13 +284,14 @@ def _mla_kernel(
         max_kv_pos = plan_refs[_KV_START][w] + sub_start + tile_k - 1
         interior = jnp.logical_and(interior, min_q_tok >= max_kv_pos)
 
-    @pl.when(jnp.logical_and(active, interior))
-    def _compute_interior():
-        _body(masked=False)
+    if do_compute:
+        @pl.when(jnp.logical_and(active, interior))
+        def _compute_interior():
+            _body(masked=False)
 
-    @pl.when(jnp.logical_and(active, jnp.logical_not(interior)))
-    def _compute_masked():
-        _body(masked=True)
+        @pl.when(jnp.logical_and(active, jnp.logical_not(interior)))
+        def _compute_masked():
+            _body(masked=True)
 
     @pl.when(j == nsub - 1)
     def _finalize():
@@ -455,6 +467,9 @@ def _mla_paged_run(
             pltpu.VMEM((tile_q, _LANES), jnp.float32),
         ],
     )
+    import os as _os
+
+    probe = _os.environ.get("FLASHINFER_TPU_KERNEL_PROBE") or None
     kernel = functools.partial(
         _mla_kernel,
         sm_scale=sm_scale,
@@ -469,6 +484,7 @@ def _mla_paged_run(
         num_items=T,
         d_ckv=d_ckv,
         d_kpe=d_kpe,
+        probe=probe,
     )
     partial_o, partial_lse = pl.pallas_call(
         kernel,

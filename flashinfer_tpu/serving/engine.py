@@ -61,7 +61,8 @@ class EngineConfig:
     eos_token: int = -1  # -1 = never stop on eos
     interpret: Optional[bool] = None  # Pallas interpret (None = auto)
     # KV-cache quantization (BASELINE.md north star: FP8 paged decode).
-    # "bf16"/"model" = model dtype; "fp8_e4m3" halves KV HBM footprint —
+    # "bf16"/"model" = model dtype; "fp8_e4m3" / "int8" halve KV HBM
+    # footprint ("int8" = linear container, one-convert dequant) —
     # the attention kernel dequantizes in-register (ops/fp8.py bit decode).
     kv_dtype: str = "model"
     # per-tensor quant scale(s): one float for both K and V, or a
@@ -128,7 +129,7 @@ class LlamaServingEngine:
     ):
         self.cfg = config
         mc = config.model
-        if config.kv_dtype not in ("model", "bf16", "fp8_e4m3"):
+        if config.kv_dtype not in ("model", "bf16", "fp8_e4m3", "int8"):
             raise ValueError(f"unknown kv_dtype {config.kv_dtype!r}")
         if config.weight_dtype not in ("model", "fp8_e4m3", "int8"):
             raise ValueError(f"unknown weight_dtype {config.weight_dtype!r}")
@@ -182,20 +183,25 @@ class LlamaServingEngine:
                 mc.num_kv_heads,
                 mc.head_dim,
             )
-        # explicit fp8 discriminator — NEVER inferred from kv_scale's value
-        # (kv_dtype="fp8_e4m3" with kv_scale=1.0 is a legal config)
-        self._kv_fp8 = config.kv_dtype == "fp8_e4m3"
+        # explicit 8-bit-mode discriminator — NEVER inferred from kv_scale's
+        # value (kv_dtype="fp8_e4m3" with kv_scale=1.0 is a legal config).
+        # False = full-width; "e4m3" = fp8 bit containers; "int8" = LINEAR
+        # int8 (value = q*scale; ONE hardware convert per read vs the e4m3
+        # bit decode — the TPU-native 8-bit KV container, pre-v6 TPUs have
+        # no fp8 hardware)
+        self._kv_fp8 = {"fp8_e4m3": "e4m3", "int8": "int8"}.get(
+            config.kv_dtype, False)
         if self._kv_fp8:
-            # e4m3 bits live in an int8 container: a float8-dtype cache
-            # would cost a full bitcast copy per layer per step inside the
-            # jitted run (ops/attention/batch.py run_device_plan note), and
-            # pre-v6 TPUs stream int8 at full rate but float8 ~8x slower
+            # both 8-bit modes live in an int8 container: a float8-dtype
+            # cache would cost a full bitcast copy per layer per step inside
+            # the jitted run (ops/attention/batch.py run_device_plan note),
+            # and pre-v6 TPUs stream int8 at full rate but float8 ~8x slower
             cache_dtype = jnp.int8
             self._kv_scale = _norm_kv_scale(config.kv_scale)
             if not (config.interpret if config.interpret is not None
                     else not on_tpu()) and config.page_size < 32:
                 raise ValueError(
-                    "fp8_e4m3 KV on real TPUs needs page_size >= 32 (int8 "
+                    "8-bit KV on real TPUs needs page_size >= 32 (int8 "
                     f"VMEM sublane tile is 32), got {config.page_size}"
                 )
         else:
@@ -805,12 +811,14 @@ def calibrate_kv_scales(
     seed: int = 0,
     headroom: float = 1.0,
 ) -> Tuple[float, float]:
-    """Per-tensor FP8 KV scales from sample activations (amax/448).
+    """Per-tensor 8-bit KV scales from sample activations (amax/448 for
+    e4m3; amax/127 when ``config.kv_dtype == "int8"``).
 
     Runs one bf16 prefill over the calibration prompts and reads the
     roped K / V amax straight from the paged caches — exactly the values a
     quantized cache would store. Pass the result as
-    ``EngineConfig(kv_scale=calibrate_kv_scales(...), kv_dtype="fp8_e4m3")``.
+    ``EngineConfig(kv_scale=calibrate_kv_scales(...), kv_dtype="fp8_e4m3")``
+    (or ``kv_dtype="int8"`` for the linear container).
     Reference parity: calibrated k_scale/v_scale threaded through the fp8
     attention APIs (flashinfer/decode.py run k_scale/v_scale args); the
     reference leaves producing them to the serving stack, which computes
@@ -825,11 +833,11 @@ def calibrate_kv_scales(
         eng.add_request(list(p), 1)
     while eng.has_work():
         eng.step()
-    e4m3_max = 448.0
+    qmax = 127.0 if config.kv_dtype == "int8" else 448.0
     amax_k = float(jnp.max(jnp.abs(eng.k_cache.astype(jnp.float32))))
     amax_v = float(jnp.max(jnp.abs(eng.v_cache.astype(jnp.float32))))
-    return (max(amax_k, 1e-6) * headroom / e4m3_max,
-            max(amax_v, 1e-6) * headroom / e4m3_max)
+    return (max(amax_k, 1e-6) * headroom / qmax,
+            max(amax_v, 1e-6) * headroom / qmax)
 
 
 def propose_ngram(ctx: List[int], num_spec: int, max_ngram: int) -> List[int]:
@@ -947,7 +955,12 @@ def _run_layers(params, mc, num_pages, x, positions, k_cache, v_cache,
         q, k = apply_rope_pos_ids(q, k, positions, rope_theta=mc.rope_theta)
 
         k_scale, v_scale = kv_scale
-        if kv_fp8:  # store e4m3 bits (int8 container; ops/fp8.py rationale)
+        if kv_fp8 == "int8":  # linear int8 container (per-tensor scale)
+            k = jnp.clip(jnp.round(k.astype(jnp.float32) / k_scale),
+                         -127, 127).astype(jnp.int8)
+            v = jnp.clip(jnp.round(v.astype(jnp.float32) / v_scale),
+                         -127, 127).astype(jnp.int8)
+        elif kv_fp8:  # e4m3 bits (int8 container; ops/fp8.py rationale)
             k = jax.lax.bitcast_convert_type(
                 (k.astype(jnp.float32) / k_scale).astype(jnp.float8_e4m3fn),
                 jnp.int8)
@@ -967,7 +980,7 @@ def _run_layers(params, mc, num_pages, x, positions, k_cache, v_cache,
         attn = run_device_plan(
             dplan, q, kc, vc, kv_layout=TensorLayout[kv_layout],
             k_scale=k_scale, v_scale=v_scale,
-            kv_dtype="e4m3" if kv_fp8 else None,
+            kv_dtype=(kv_fp8 or None),
             kv_indices_offset=layer * num_pages, interpret=interpret,
         )
         x = x + _wmm(attn.reshape(rows, hq * d), lp, "wo").astype(x.dtype)

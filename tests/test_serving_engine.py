@@ -184,7 +184,7 @@ def test_llama_init_weights_int8_matches_quantizer():
     assert p["embedding"].dtype == mc.dtype
 
 
-@pytest.mark.parametrize("kv_dtype", ["model", "fp8_e4m3"])
+@pytest.mark.parametrize("kv_dtype", ["model", "fp8_e4m3", "int8"])
 def test_engine_hnd_layout_token_exact(kv_dtype):
     """kv_layout="HND" (head-sliceable cache -> head-group DMAs + the
     head-loop prefill body on hardware) produces the same tokens as the
