@@ -386,8 +386,20 @@ def _mla_paged_run(
         kv_itemsize=ckv_cache.dtype.itemsize, page_size=page_size,
         kv_chunk_size=plan_meta.kv_chunk_size,
     )
-    # default: the largest VMEM-legal tile (fewest grid steps)
-    if tile_k is None or tile_k not in cand_tks:
+    # default: the largest VMEM-legal tile (fewest grid steps). An
+    # explicitly pinned tile_k that divides the chunk is honored even
+    # beyond the standard budget (the A/B harness explores there; the
+    # pallas_call raises vmem_limit_bytes for it below).
+    pinned_wide = (
+        tile_k is not None
+        and tile_k not in cand_tks
+        and plan_meta.kv_chunk_size % tile_k == 0
+        and tile_k % page_size == 0
+        and not (ckv_cache.dtype.itemsize == 1 and tile_k % 4)
+        and tile_k // page_size <= 64
+    )
+    pinned = tile_k is not None and (tile_k in cand_tks or pinned_wide)
+    if not pinned:
         tile_k = cand_tks[-1]
     tactics = [{"tile_k": tk} for tk in sorted(cand_tks)]
     op_key = (
@@ -395,8 +407,11 @@ def _mla_paged_run(
         f"::chunk{plan_meta.kv_chunk_size}::T{T}::{ckv_cache.dtype.name}"
     )
     tuner = AutoTuner.get()
-    sel = None if _tuned else tuner.cached(op_key, tactics)
-    if sel is None and not _tuned and tuner.enabled and len(tactics) > 1 \
+    # an explicit wrapper pin wins over the persisted autotuner winner
+    # (the A/B harness must be able to force any tactic)
+    sel = None if (_tuned or pinned) else tuner.cached(op_key, tactics)
+    if sel is None and not (_tuned or pinned) and tuner.enabled \
+            and len(tactics) > 1 \
             and not isinstance(q_ckv_packed, jax.core.Tracer):
         from flashinfer_tpu.autotuner import TunableRunner
         from flashinfer_tpu.testing.utils import bench_tpu_time_differential
@@ -495,6 +510,8 @@ def _mla_paged_run(
         ],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary", "arbitrary"),
+            **({"vmem_limit_bytes": 100 * 1024 * 1024}
+               if tile_k not in cand_tks else {}),
         ),
         cost_estimate=pl.CostEstimate(
             flops=4 * T * tile_q * plan_meta.kv_chunk_size * d_ckv,
