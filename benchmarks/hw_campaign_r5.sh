@@ -25,10 +25,16 @@ timeout 1800 python benchmarks/prefill_ab.py --b 8 --sq 1024 --hq 32 --hkv 8 \
 timeout 900 python benchmarks/flashinfer_tpu_benchmark.py --routine BatchDecodeWithPagedKVCacheWrapper \
   --batch-size 64 --s-kv 2048 --num-qo-heads 32 --num-kv-heads 8 --page-size 32 >> $LOG 2>&1
 
-# 3. MLA decode: bf16 / fp8-e4m3 / linear-int8 (chunk-cap fix + int8 path)
-for dt in model fp8_e4m3 int8; do
-  timeout 1200 python benchmarks/flashinfer_tpu_benchmark.py --routine mla \
-    --batch-size 32 --s-kv 2048 --num-qo-heads 128 --page-size 64 --kv-dtype $dt >> $LOG 2>&1
+# 3. MLA decode: bf16 / fp8-e4m3 / linear-int8 (chunk-cap fix + int8 path).
+#    h128 = single-chip DeepSeek (MXU-bound: ~256-512 flops/byte vs the
+#    v5e balance of ~240 — byte-rate ratios are the wrong lens there);
+#    h16 = the per-chip head count under tp8 (memory-bound: the regime
+#    where the 8-bit containers' byte-rate win is physical)
+for h in 128 16; do
+  for dt in model fp8_e4m3 int8; do
+    timeout 1200 python benchmarks/flashinfer_tpu_benchmark.py --routine mla \
+      --batch-size 32 --s-kv 2048 --num-qo-heads $h --page-size 64 --kv-dtype $dt >> $LOG 2>&1
+  done
 done
 
 # 4. Kernel decomposition (profiler.cuh analogue): decode, prefill, MLA fp8

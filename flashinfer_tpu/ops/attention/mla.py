@@ -333,6 +333,13 @@ def _mla_tile_candidates(
         tile_q * (2 * d_ckv + d_kpe) * 2  # q tiles (x2 dbuf) + out
         + 3 * tile_q * max(d_ckv, _LANES) * 4  # acc/m/l f32
     )
+    # 8-bit caches get a WIDE budget (the pallas_call raises
+    # vmem_limit_bytes): measured on v5e, int8 at the full-chunk tile
+    # (tk=2048, nsub=1, ~16.5 MB modeled) runs 0.071 ms vs 0.228 at the
+    # 10 MB-legal tk=1024 — the fewer, larger steps amortize both the
+    # per-step overhead and the dequant. bf16 keeps the tight budget
+    # (measured: bf16 tk=2048 is 1.55x SLOWER than tk=1024).
+    budget = _VMEM_BUDGET if kv_itemsize > 1 else 30 * 1024 * 1024
     cands = []
     tk = page_size
     while tk <= min(4096, kv_chunk_size):
@@ -343,7 +350,7 @@ def _mla_tile_candidates(
         buf = 2 * tk * dsum * kv_itemsize
         dec = 5 * tk * dsum if kv_itemsize == 1 else 0
         temps = 6 * tile_q * tk * 4
-        if ok and buf + dec + temps + fixed <= _VMEM_BUDGET:
+        if ok and buf + dec + temps + fixed <= budget:
             cands.append(tk)
         tk *= 2
     return cands or [page_size]
@@ -510,8 +517,12 @@ def _mla_paged_run(
         ],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary", "arbitrary"),
+            # 8-bit candidates are modeled under the wide budget, and a
+            # pinned tile may exceed even that — raise the scoped limit
+            # whenever we are beyond the tight bf16 model
             **({"vmem_limit_bytes": 100 * 1024 * 1024}
-               if tile_k not in cand_tks else {}),
+               if (tile_k not in cand_tks or ckv_cache.dtype.itemsize == 1)
+               else {}),
         ),
         cost_estimate=pl.CostEstimate(
             flops=4 * T * tile_q * plan_meta.kv_chunk_size * d_ckv,
