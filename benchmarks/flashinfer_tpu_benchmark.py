@@ -200,6 +200,58 @@ def bench_moe(args) -> dict:
     }
 
 
+def _mla_setup(args, rng):
+    """Arrays + planned wrapper + step closure for one MLA bench mode."""
+    import jax
+    import jax.numpy as jnp
+
+    from flashinfer_tpu.ops.attention.mla import BatchMLAPagedAttentionWrapper
+
+    b, skv, h, ps = (args.batch_size, args.s_kv, args.num_qo_heads,
+                     args.page_size)
+    dckv, dkpe = 512, 64
+    pages = -(-skv // ps)
+    indptr = np.arange(b + 1) * pages
+    indices = rng.permutation(b * pages + 8)[: b * pages].astype(np.int32)
+    kv_lens = np.full(b, skv, np.int32)
+    fp8 = args.kv_dtype == "fp8_e4m3"
+    int8 = args.kv_dtype == "int8"
+    ckv = jnp.asarray(
+        rng.standard_normal((b * pages + 8, ps, dckv)), jnp.bfloat16)
+    # kpe stored 128-padded (the wrapper's zero-copy fast path)
+    kpe = jnp.asarray(
+        np.pad(rng.standard_normal((b * pages + 8, ps, dkpe)),
+               ((0, 0), (0, 0), (0, 64))), jnp.bfloat16)
+    scale = 1.0
+    if fp8:
+        scale = 0.05
+
+        def q8(x):
+            return jax.lax.bitcast_convert_type(
+                (x.astype(jnp.float32) / scale).astype(jnp.float8_e4m3fn),
+                jnp.int8)
+        ckv, kpe = q8(ckv), q8(kpe)
+    elif int8:
+        scale = 4.0 / 127.0  # linear int8, per-tensor amax/127
+
+        def qi(x):
+            return jnp.clip(jnp.round(x.astype(jnp.float32) / scale),
+                            -127, 127).astype(jnp.int8)
+        ckv, kpe = qi(ckv), qi(kpe)
+    qn = jnp.asarray(rng.standard_normal((b, h, dckv)), jnp.bfloat16)
+    qp = jnp.asarray(rng.standard_normal((b, h, dkpe)), jnp.bfloat16)
+
+    w = BatchMLAPagedAttentionWrapper(backend="pallas", tile_k=args.tile_k)
+    w.plan(np.arange(b + 1), indptr, indices, kv_lens, h, dckv, dkpe, ps)
+
+    def step(qn, qp, ckv, kpe):
+        o = w.run(qn, qp, ckv, kpe, ckv_scale=scale, kpe_scale=scale,
+                  cache_dtype="int8" if int8 else "e4m3")
+        return qn + o.astype(qn.dtype) * jnp.bfloat16(1e-3)
+
+    return {"step": step, "args": (qn, qp, ckv, kpe)}
+
+
 def bench_mla(args) -> dict:
     """MLA paged decode (DeepSeek config: dckv 512 + dkpe 64, matrix-
     absorbed; reference trtllm_batch_decode_with_kv_cache_mla role).
@@ -218,41 +270,60 @@ def bench_mla(args) -> dict:
     indptr = np.arange(b + 1) * pages
     indices = rng.permutation(b * pages + 8)[: b * pages].astype(np.int32)
     kv_lens = np.full(b, skv, np.int32)
+    if args.kv_dtype == "all":
+        # Chip/session speed drifts ~2x across processes through the
+        # tunnel; ALTERNATING same-process measurement is the only
+        # trustworthy dtype ratio (PERF.md methodology). Build each mode's
+        # jitted scan pair once, interleave timings, min per mode.
+        import time as _time
+
+        import jax
+        import jax.numpy as jnp
+
+        from flashinfer_tpu.ops.attention.mla import (
+            BatchMLAPagedAttentionWrapper,
+        )
+
+        n_s, n_l = 2, max(10, args.iters // 2 + 2)
+        modes = ["model", "fp8_e4m3", "int8"]
+        runs = {}
+        for m in modes:
+            sub = argparse.Namespace(**{**vars(args), "kv_dtype": m})
+            mr = _mla_setup(sub, rng)
+            fs = {n: jax.jit(
+                lambda c, *inv, _f=mr["step"], _n=n: jax.lax.scan(
+                    lambda cc, _: (_f(cc, *inv), ()), c, None, length=_n
+                )[0]) for n in (n_s, n_l)}
+            for n in (n_s, n_l):  # compile + warm
+                jax.block_until_ready(fs[n](*mr["args"]))
+            runs[m] = (fs, mr["args"])
+        best = {m: float("inf") for m in modes}
+        for _round in range(5):
+            for m in modes:
+                fs, a = runs[m]
+                ts = {}
+                for n in (n_s, n_l):
+                    t0 = _time.perf_counter()
+                    jax.block_until_ready(fs[n](*a))
+                    ts[n] = _time.perf_counter() - t0
+                dt = max((ts[n_l] - ts[n_s]) / (n_l - n_s), 1e-9)
+                best[m] = min(best[m], dt * 1e3)
+        out = {"routine": "mla", "kv_dtype": "all(interleaved)"}
+        for m in modes:
+            phys = b * skv * (dckv + dkpe) * (1 if m != "model" else 2)
+            out[m] = {
+                "median_time_ms": round(best[m], 4),
+                "kv_gb_per_sec_physical": round(
+                    phys / (best[m] / 1e3) / 1e9, 1),
+            }
+        bf = best["model"]
+        out["fp8_vs_bf16_physical"] = round(0.5 * bf / best["fp8_e4m3"], 3)
+        out["int8_vs_bf16_physical"] = round(0.5 * bf / best["int8"], 3)
+        return out
     fp8 = args.kv_dtype == "fp8_e4m3"
     int8 = args.kv_dtype == "int8"
-    ckv = jnp.asarray(
-        rng.standard_normal((b * pages + 8, ps, dckv)), jnp.bfloat16)
-    # kpe stored 128-padded (the wrapper's zero-copy fast path)
-    kpe = jnp.asarray(
-        np.pad(rng.standard_normal((b * pages + 8, ps, dkpe)),
-               ((0, 0), (0, 0), (0, 64))), jnp.bfloat16)
-    scale = 1.0
-    if fp8:
-        scale = 0.05
-        def q8(x):
-            return jax.lax.bitcast_convert_type(
-                (x.astype(jnp.float32) / scale).astype(jnp.float8_e4m3fn),
-                jnp.int8)
-        ckv, kpe = q8(ckv), q8(kpe)
-    elif int8:
-        scale = 4.0 / 127.0  # linear int8, per-tensor amax/127
-        def qi(x):
-            return jnp.clip(jnp.round(x.astype(jnp.float32) / scale),
-                            -127, 127).astype(jnp.int8)
-        ckv, kpe = qi(ckv), qi(kpe)
-    qn = jnp.asarray(rng.standard_normal((b, h, dckv)), jnp.bfloat16)
-    qp = jnp.asarray(rng.standard_normal((b, h, dkpe)), jnp.bfloat16)
-
-    w = BatchMLAPagedAttentionWrapper(backend="pallas",
-                                      tile_k=args.tile_k)
-    w.plan(np.arange(b + 1), indptr, indices, kv_lens, h, dckv, dkpe, ps)
-
-    def step(qn, qp, ckv, kpe):
-        o = w.run(qn, qp, ckv, kpe, ckv_scale=scale, kpe_scale=scale,
-                  cache_dtype="int8" if int8 else "e4m3")
-        return qn + o.astype(qn.dtype) * jnp.bfloat16(1e-3)
-
-    dt = bench_tpu_time_differential(step, qn, qp, ckv, kpe,
+    mr = _mla_setup(args, rng)
+    dt = bench_tpu_time_differential(mr["step"], *mr["args"],
                                      n_short=2, n_long=args.iters + 2)
     kv_bytes = b * skv * (dckv + dkpe) * (1 if (fp8 or int8) else 2)
     eff_bytes = b * skv * (dckv + dkpe) * 2  # bf16-equivalent logical bytes
@@ -465,7 +536,7 @@ def main(argv=None) -> int:
     ])
     p.add_argument("--model", default="1b", choices=["tiny", "1b", "8b"])
     p.add_argument("--kv-dtype", default="model",
-                   choices=["model", "fp8_e4m3", "int8"])
+                   choices=["model", "fp8_e4m3", "int8", "all"])
     p.add_argument("--tile-k", type=int, default=None,
                    help="pin the kernel kv tile (mla routine)")
     p.add_argument("--weight-dtype", default="model",
