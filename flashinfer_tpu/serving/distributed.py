@@ -142,10 +142,12 @@ class DistributedServingEngine:
                 w = w.reshape(L, h, 2, two_i // 2)
             self.params[name] = _global_array(w, mesh, specs[name])
 
-        # explicit fp8 discriminator (never inferred from kv_scale's value)
-        self._kv_fp8 = config.kv_dtype == "fp8_e4m3"
+        # explicit 8-bit-mode discriminator (never inferred from kv_scale's
+        # value): False | "e4m3" | "int8" (see serving/engine.py)
+        self._kv_fp8 = {"fp8_e4m3": "e4m3", "int8": "int8"}.get(
+            config.kv_dtype, False)
         if self._kv_fp8:
-            cache_dtype = jnp.int8  # e4m3 bits (see serving/engine.py)
+            cache_dtype = jnp.int8  # 8-bit container
             from flashinfer_tpu.serving.engine import _norm_kv_scale
 
             self._kv_scale = _norm_kv_scale(config.kv_scale)
@@ -503,7 +505,12 @@ def _dist_step(params, mc, page_size, page_bucket, R, B, k_cache, v_cache,
             q, k = apply_rope_pos_ids(q, k, positions,
                                       rope_theta=mc.rope_theta)
             k_scale, v_scale = kv_scale
-            if kv_fp8:  # fp8 KV (int8-container e4m3 bits)
+            if kv_fp8 == "int8":  # linear int8 container
+                k = jnp.clip(jnp.round(k.astype(jnp.float32) / k_scale),
+                             -127, 127).astype(jnp.int8)
+                v = jnp.clip(jnp.round(v.astype(jnp.float32) / v_scale),
+                             -127, 127).astype(jnp.int8)
+            elif kv_fp8:  # fp8 KV (int8-container e4m3 bits)
                 k = jax.lax.bitcast_convert_type(
                     (k.astype(jnp.float32) / k_scale).astype(
                         jnp.float8_e4m3fn), jnp.int8)
@@ -518,7 +525,7 @@ def _dist_step(params, mc, page_size, page_bucket, R, B, k_cache, v_cache,
             attn = run_device_plan(
                 dplan, q, kc, vc, kv_layout=TensorLayout.NHD,
                 k_scale=k_scale, v_scale=v_scale,
-                kv_dtype="e4m3" if kv_fp8 else None,
+                kv_dtype=(kv_fp8 or None),
                 kv_indices_offset=layer * num_pages, interpret=interpret,
             )
             attn_partial = attn.reshape(R, hq_l * d) @ lp["wo"]

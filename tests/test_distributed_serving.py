@@ -72,3 +72,17 @@ def test_distributed_fp8_kv():
     dist.run_to_completion(max_steps=32)
     assert r2.done and len(r2.output) == 4
     assert r2.output == r1.output, (r2.output, r1.output)
+
+
+def test_distributed_int8_kv():
+    """Linear-int8 KV containers through the dp x tp SPMD engine match the
+    single-device int8 engine token for token."""
+    cfg = _tiny_cfg(kv_dtype="int8", kv_scale=0.05)
+    ref = LlamaServingEngine(cfg, seed=0)
+    r1 = ref.add_request([1, 2, 3, 4], 4)
+    ref.run_to_completion()
+    dist = DistributedServingEngine(cfg, _mesh(2, 2), seed=0)
+    r2 = dist.add_request([1, 2, 3, 4], 4, replica=0)
+    dist.run_to_completion(max_steps=32)
+    assert r2.done and len(r2.output) == 4
+    assert r2.output == r1.output, (r2.output, r1.output)
