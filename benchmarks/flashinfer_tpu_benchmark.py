@@ -284,7 +284,10 @@ def bench_mla(args) -> dict:
             BatchMLAPagedAttentionWrapper,
         )
 
-        n_s, n_l = 2, max(10, args.iters // 2 + 2)
+        # long scans + min-of-3 per length per round: the tunnel's multi-ms
+        # dispatch jitter otherwise swamps the short-kernel differential
+        # (observed: 0.0-ms rows when t_long-t_short went negative)
+        n_s, n_l = 4, 64
         modes = ["model", "fp8_e4m3", "int8"]
         runs = {}
         for m in modes:
@@ -298,14 +301,17 @@ def bench_mla(args) -> dict:
                 jax.block_until_ready(fs[n](*mr["args"]))
             runs[m] = (fs, mr["args"])
         best = {m: float("inf") for m in modes}
-        for _round in range(5):
+        for _round in range(4):
             for m in modes:
                 fs, a = runs[m]
                 ts = {}
                 for n in (n_s, n_l):
-                    t0 = _time.perf_counter()
-                    jax.block_until_ready(fs[n](*a))
-                    ts[n] = _time.perf_counter() - t0
+                    tt = []
+                    for _ in range(3):
+                        t0 = _time.perf_counter()
+                        jax.block_until_ready(fs[n](*a))
+                        tt.append(_time.perf_counter() - t0)
+                    ts[n] = min(tt)
                 dt = max((ts[n_l] - ts[n_s]) / (n_l - n_s), 1e-9)
                 best[m] = min(best[m], dt * 1e3)
         out = {"routine": "mla", "kv_dtype": "all(interleaved)"}
