@@ -72,13 +72,16 @@ def bench_attention(args) -> dict:
         indptr = np.arange(b + 1) * pages
         indices = rng.permutation(b * pages + 8)[: b * pages].astype(np.int32)
         last = np.full(b, ((skv - 1) % ps) + 1, np.int32)
-        kc = jnp.asarray(
-            rng.standard_normal((b * pages + 8, hkv, ps, d)), dtype)
-        vc = jnp.asarray(
-            rng.standard_normal((b * pages + 8, hkv, ps, d)), dtype)
+        layout = args.kv_layout
+        cshape = ((b * pages + 8, hkv, ps, d) if layout == "HND"
+                  else (b * pages + 8, ps, hkv, d))
+        kc = jnp.asarray(rng.standard_normal(cshape), dtype)
+        vc = jnp.asarray(rng.standard_normal(cshape), dtype)
         if args.routine == "BatchDecodeWithPagedKVCacheWrapper":
-            w = fi.BatchDecodeWithPagedKVCacheWrapper(backend=backend)
-            w.plan(indptr, indices, last, hq, hkv, d, ps)
+            w = fi.BatchDecodeWithPagedKVCacheWrapper(
+                backend=backend, kv_layout=layout)
+            w.plan(indptr, indices, last, hq, hkv, d, ps,
+                   kv_chunk_size=args.kv_chunk_size)
             q0 = jnp.asarray(rng.standard_normal((b, hq, d)), dtype)
             qo_len = 1
         else:
@@ -569,6 +572,8 @@ def main(argv=None) -> int:
     p.add_argument("--moe-backend", default="pallas",
                    choices=["pallas", "xla"])
     p.add_argument("--kv-layout", default="NHD", choices=["NHD", "HND"])
+    p.add_argument("--kv-chunk-size", type=int, default=None,
+                   help="pin the planner kv chunk (attention routines)")
     p.add_argument("--decode-window", type=int, default=1,
                    help="serving: N decode steps per jitted launch "
                         "(multi-step scheduling; amortizes host planning)")

@@ -242,9 +242,12 @@ class DevicePlan:
         raise KeyError(name)
 
     @property
-    def plan_arrays(self) -> Tuple[jax.Array, ...]:
-        p = self._seg("plan")
-        return tuple(p[i] for i in range(12))
+    def plan_arrays(self) -> jax.Array:
+        """ONE [12, num_work_items] int32 matrix (a single scalar-prefetch
+        operand: each extra operand costs ~tens of us of kernel prologue —
+        13 separate arrays measured ~0.1 ms/call, the entire kernel time
+        at decode shapes)."""
+        return self._seg("plan")
 
     @property
     def kv_indices(self):

@@ -184,9 +184,23 @@ def _paged_kernel(
     probe: Optional[str] = None,
 ):
     # --- unpack refs ---
+    # ONE flat [12*T] plan operand: each extra scalar-prefetch operand
+    # costs measured tens of us of per-call prologue (13 operands =
+    # ~0.1 ms/call = the entire kernel time at decode shapes). Mosaic
+    # only takes 1-D scalar prefetch, so rows are computed offsets.
     idx = 0
-    plan_refs = refs[idx : idx + _NUM_PLAN_ARRAYS]
-    idx += _NUM_PLAN_ARRAYS
+    plan_flat = refs[idx]; idx += 1
+
+    class _PlanRow:
+        __slots__ = ("base",)
+
+        def __init__(self, i):
+            self.base = i * num_items
+
+        def __getitem__(self, w):
+            return plan_flat[self.base + w]
+
+    plan_refs = [_PlanRow(i) for i in range(_NUM_PLAN_ARRAYS)]
     kv_indices_ref = refs[idx]; idx += 1
     q_ref = refs[idx]; idx += 1
     k_hbm = refs[idx]; idx += 1
@@ -959,20 +973,20 @@ def _select_tiles(cands, **ctx):
             # they would become HLO constants) and a tiny-but-nonzero
             # reduction of the output chains the carry so iterations
             # serialize and nothing is DCE'd
-            def step(carry, kc, vc, ki, wm, *pa):
+            def step(carry, kc, vc, ki, wm, pa):
                 o, _ = _execute_tiles(
                     tactic["h_blk"], tactic["tile_k"],
                     tactic.get("head_loop", False),
                     **{**ctx, "q_packed": carry, "k_cache": kc,
                        "v_cache": vc, "kv_indices": ki, "work_mask": wm,
-                       "plan_arrays": tuple(pa)},
+                       "plan_arrays": pa},
                 )
                 dep = jnp.sum(o.astype(jnp.float32)) * 1e-30
                 return carry + dep.astype(carry.dtype)
 
             return bench_tpu_time_differential(
                 step, ctx["q_packed"], ctx["k_cache"], ctx["v_cache"],
-                ctx["kv_indices"], ctx["work_mask"], *ctx["plan_arrays"],
+                ctx["kv_indices"], ctx["work_mask"], ctx["plan_arrays"],
                 n_short=2, n_long=26, repeats=6,
             )
 
@@ -999,7 +1013,7 @@ def _finish_run(
     grid = (T, nsub)
 
     def q_index(w, j, *s):
-        return (0, s[_QO_START][w] // tile_q, 0)
+        return (0, s[0][_QO_START * T + w] // tile_q, 0)
 
     in_specs = [
         pl.BlockSpec((num_kv_heads, tile_q, d_pad), q_index,
@@ -1048,7 +1062,7 @@ def _finish_run(
         v_scratch = pltpu.VMEM((2, num_kv_heads, tile_k, dv_pad), v_cache.dtype)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=_NUM_PLAN_ARRAYS + 1,
+        num_scalar_prefetch=2,  # flat [12*T] plan + kv_indices
         grid=grid,
         in_specs=in_specs,
         out_specs=[
@@ -1098,7 +1112,7 @@ def _finish_run(
             transcendentals=T * tile_q * plan_meta.kv_chunk_size * num_kv_heads,
         ),
         interpret=interpret,
-    )(*plan_arrays, kv_indices, q_packed, k_cache, v_cache,
+    )(plan_arrays.reshape(-1), kv_indices, q_packed, k_cache, v_cache,
       *([] if work_mask is None else [work_mask]), *v_arrays)
 
     return partial_o, partial_lse

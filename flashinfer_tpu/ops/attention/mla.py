@@ -81,7 +81,20 @@ def _mla_kernel(
     probe: Optional[str] = None,
 ):
     idx = 0
-    plan_refs = refs[idx : idx + _NUM_PLAN]; idx += _NUM_PLAN
+    # ONE flat [12*T] plan operand (see kernels/paged.py: per-operand
+    # scalar-prefetch prologue cost; Mosaic takes 1-D scalar prefetch only)
+    plan_flat = refs[idx]; idx += 1
+
+    class _PlanRow:
+        __slots__ = ("base",)
+
+        def __init__(self, i):
+            self.base = i * num_items
+
+        def __getitem__(self, w):
+            return plan_flat[self.base + w]
+
+    plan_refs = [_PlanRow(i) for i in range(_NUM_PLAN)]
     kv_indices_ref = refs[idx]; idx += 1
     q_ckv_ref = refs[idx]; idx += 1
     q_pe_ref = refs[idx]; idx += 1
@@ -362,7 +375,7 @@ def _mla_paged_run(
     ckv_cache: jax.Array,  # [pages, page_size, d_ckv]
     kpe_cache: jax.Array,  # [pages, page_size, d_kpe]
     kv_indices: jax.Array,
-    plan_arrays: Tuple[jax.Array, ...],
+    plan_arrays: jax.Array,  # [12, T] int32 (ONE scalar-prefetch operand)
     *,
     plan_meta: AttentionPlan,
     causal: bool,
@@ -431,9 +444,9 @@ def _mla_paged_run(
                 raise NotImplementedError  # timed via time_tactic
 
         def time_tactic(tactic):
-            def step(carry, qpe, ckv, kpe, ki, *pa):
+            def step(carry, qpe, ckv, kpe, ki, pa):
                 o, _ = _mla_paged_run(
-                    carry, qpe, ckv, kpe, ki, tuple(pa),
+                    carry, qpe, ckv, kpe, ki, pa,
                     plan_meta=plan_meta, causal=causal, sm_scale=sm_scale,
                     tile_k=tactic["tile_k"], interpret=interpret,
                     v_scale=v_scale, kv_dequant=kv_dequant,
@@ -444,7 +457,7 @@ def _mla_paged_run(
 
             return bench_tpu_time_differential(
                 step, q_ckv_packed, q_pe_packed, ckv_cache, kpe_cache,
-                kv_indices, *plan_arrays, n_short=2, n_long=26, repeats=6,
+                kv_indices, plan_arrays, n_short=2, n_long=26, repeats=6,
             )
 
         sel = tuner.choose_one(op_key, _Runner(), time_tactic=time_tactic)
@@ -461,15 +474,17 @@ def _mla_paged_run(
         )
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=_NUM_PLAN + 1,
+        num_scalar_prefetch=2,  # flat [12*T] plan + kv_indices
         grid=(T, nsub),
         in_specs=[
-            pl.BlockSpec((1, tile_q, d_ckv),
-                         lambda w, j, *s: (0, s[_QO_START][w] // tile_q, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, tile_q, d_kpe),
-                         lambda w, j, *s: (0, s[_QO_START][w] // tile_q, 0),
-                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (1, tile_q, d_ckv),
+                lambda w, j, *s: (0, s[0][_QO_START * T + w] // tile_q, 0),
+                memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (1, tile_q, d_kpe),
+                lambda w, j, *s: (0, s[0][_QO_START * T + w] // tile_q, 0),
+                memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(memory_space=pl.ANY),
         ],
@@ -533,7 +548,8 @@ def _mla_paged_run(
             transcendentals=T * tile_q * plan_meta.kv_chunk_size,
         ),
         interpret=interpret,
-    )(*plan_arrays, kv_indices, q_ckv_packed, q_pe_packed, ckv_cache, kpe_cache)
+    )(plan_arrays.reshape(-1), kv_indices, q_ckv_packed, q_pe_packed,
+      ckv_cache, kpe_cache)
     return partial_o, partial_lse[..., 0]
 
 
