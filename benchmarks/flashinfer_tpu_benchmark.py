@@ -281,11 +281,6 @@ def bench_mla(args) -> dict:
         import time as _time
 
         import jax
-        import jax.numpy as jnp
-
-        from flashinfer_tpu.ops.attention.mla import (
-            BatchMLAPagedAttentionWrapper,
-        )
 
         # long scans + min-of-3 per length per round: the tunnel's multi-ms
         # dispatch jitter otherwise swamps the short-kernel differential

@@ -336,3 +336,43 @@ def test_batch_prefill_head_loop_alibi_hook():
         (k, v),
         cls=BatchPrefillWithPagedKVCacheWrapper,
     )
+
+
+def test_kernel_probe_modes_run(monkeypatch):
+    """FLASHINFER_TPU_KERNEL_PROBE instrumented builds (grid/dma/compute —
+    the profiler.cuh-analogue decomposition harness) must keep tracing and
+    running as the kernel evolves; probe=None must stay bit-identical to
+    the production path."""
+    import os
+
+    import jax.numpy as jnp
+
+    import flashinfer_tpu as fi
+
+    rng = np.random.default_rng(3)
+    B, HQ, HKV, D, PS = 2, 4, 2, 128, 16
+    kv_lens = [37, 20]
+    pages = [-(-l // PS) for l in kv_lens]
+    indptr = np.concatenate([[0], np.cumsum(pages)]).astype(np.int32)
+    indices = np.arange(sum(pages), dtype=np.int32)
+    last = np.asarray([l - (p - 1) * PS for l, p in zip(kv_lens, pages)],
+                      np.int32)
+    kc = jnp.asarray(rng.standard_normal((sum(pages) + 1, HKV, PS, D)),
+                     jnp.float32)
+    vc = jnp.asarray(rng.standard_normal((sum(pages) + 1, HKV, PS, D)),
+                     jnp.float32)
+    q = jnp.asarray(rng.standard_normal((B, HQ, D)), jnp.float32)
+
+    def run():
+        w = fi.BatchDecodeWithPagedKVCacheWrapper(kv_layout="HND",
+                                                  backend="pallas")
+        w.plan(indptr, indices, last, HQ, HKV, D, PS)
+        return np.asarray(w.run(q, (kc, vc), interpret=True))
+
+    base = run()
+    for probe in ("grid", "dma", "compute"):
+        monkeypatch.setenv("FLASHINFER_TPU_KERNEL_PROBE", probe)
+        out = run()  # values are garbage by design; must trace + run
+        assert out.shape == base.shape
+    monkeypatch.delenv("FLASHINFER_TPU_KERNEL_PROBE")
+    np.testing.assert_array_equal(run(), base)  # probe off == production
