@@ -64,6 +64,7 @@ def main():
             page_size={"decode": 32, "prefill": 16, "mla": 64}[args.routine],
             causal=args.routine == "prefill", dtype="bfloat16",
             iters=args.iters, tile_k=args.tile_k,
+            kv_layout="NHD", kv_chunk_size=None,
         )
         fn = B.bench_mla if args.routine == "mla" else B.bench_attention
         r = fn(ns)
