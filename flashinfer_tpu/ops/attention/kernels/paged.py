@@ -384,6 +384,12 @@ def _paged_kernel(
         def _one_head(h):
             q = q_ref[h]  # [tile_q, d]
             if ragged or layout == TensorLayout.NHD:
+                # per-head strided slices relayout in VMEM; at LARGE kv
+                # this makes NHD ~4x slower than HND (measured 2.6-3.0 vs
+                # 0.6-0.7 ms at b64 kv2048; an explicit hoisted swapaxes
+                # of the whole tile costs the same — the sublane shuffle
+                # IS the cost). Short decode tiles (engine regime) are
+                # unaffected; long-context NHD is a known round-6 lever.
                 k = k_buf[slot, :, h, :]  # [tile_k, d]
                 v = v_buf[slot, :, h, :]
             else:
